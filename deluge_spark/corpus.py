@@ -1,0 +1,154 @@
+"""Deterministic synthetic source-code corpus (FIXTURES.md §1).
+
+The canonical input shape from BASELINE.json ``input_hint``:
+``(repo string, path string, commit string, lang string, content string)``.
+Generated with a fixed seed, pure numpy — no external data. Contains, by
+construction:
+
+- cross-language hot terms (``import``, ``return``, ``the``) in >50% of docs
+  (exercises hot-term salting),
+- rare terms unique to 1–3 docs (``rareterm{i}``),
+- known camelCase/snake_case identifiers asserted in tokenizer tests,
+- a few empty documents and a few large (≥256 KB) documents.
+
+Also provides the adapter mapping the driver's generic
+``documents.parquet`` fixture (doc_id, text, lang, source, n_chars) onto the
+corpus shape (FIXTURES.md §5).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+SEED = 42
+LANGS = ["python", "go", "java", "js", "rust", "c"]
+LANG_EXT = {"python": "py", "go": "go", "java": "java", "js": "js",
+            "rust": "rs", "c": "c"}
+LANG_W = [0.30, 0.15, 0.20, 0.15, 0.10, 0.10]
+
+# hot terms planted in >50% of docs; common code words for the long tail
+HOT = ["import", "return", "the"]
+COMMON = [
+    "def", "func", "class", "struct", "static", "void", "self", "value",
+    "result", "error", "data", "index", "query", "table", "config", "string",
+    "buffer", "client", "server", "request", "response", "parse", "write",
+    "read", "open", "close", "append", "merge", "split", "count", "total",
+]
+CAMEL_IDENTS = [
+    "getHTTPResponse", "parseJSONBody", "buildIndexSegment", "maxDocFrequency",
+    "snake_case_ident", "block_max_score", "computeAvgDocLen", "termFreqTable",
+]
+
+
+def corpus_sizes(sf: float) -> int:
+    """~500 docs at sf0.001, 5k at sf0.01, 50k at sf0.1."""
+    return max(10, int(round(500_000 * sf)))
+
+
+def generate_corpus_pdf(sf: float, seed: int = SEED) -> pd.DataFrame:
+    """Build the corpus as a pandas DataFrame (vectorized numpy, seeded)."""
+    n = corpus_sizes(sf)
+    rng = np.random.default_rng(seed)
+
+    n_repos = max(4, int(np.sqrt(n) / 2))
+    repo_idx = rng.integers(0, n_repos, n)
+    repos = np.array([f"org{i % 7}/repo{i}" for i in range(n_repos)])
+
+    lang_idx = rng.choice(len(LANGS), size=n, p=LANG_W)
+    langs = np.array(LANGS)[lang_idx]
+    exts = np.array([LANG_EXT[l] for l in LANGS])[lang_idx]
+
+    pkgs = rng.integers(0, 40, n)
+    names = rng.integers(0, 10_000, n)
+    paths = np.array([
+        f"src/pkg{pkgs[i]}/mod{names[i]}_{i}.{exts[i]}" for i in range(n)
+    ])
+
+    commits = np.array([
+        hashlib.sha1(f"{seed}:{repos[repo_idx[i]]}".encode()).hexdigest()
+        for i in range(n)
+    ])
+
+    # content: seeded bag of hot/common words + identifiers + literals
+    body_len = rng.integers(20, 120, n)
+    vocab = np.array(COMMON + [f"ident{i}" for i in range(2000)])
+    # Zipf-ish weights over the vocab
+    w = 1.0 / np.arange(1, len(vocab) + 1) ** 0.9
+    w /= w.sum()
+
+    contents = []
+    hot_mask = rng.random(n) < 0.6  # hot terms in ~60% of docs
+    camel_pick = rng.integers(0, len(CAMEL_IDENTS), n)
+    for i in range(n):
+        words = list(rng.choice(vocab, size=body_len[i], p=w))
+        if hot_mask[i]:
+            words = HOT + words
+        words.append(CAMEL_IDENTS[camel_pick[i]])
+        lang = langs[i]
+        doc = (
+            f"// {lang} module {i}\n"
+            + ("import os\n" if hot_mask[i] else "")
+            + f"def {CAMEL_IDENTS[camel_pick[i]]}(x):\n    "
+            + " ".join(words)
+            + f'\n    s = "literal_{i % 97}"\n    return x\n'
+        )
+        contents.append(doc)
+
+    # rare terms unique to 1–3 docs
+    n_rare = max(3, n // 100)
+    for r in range(n_rare):
+        owners = rng.integers(0, n, rng.integers(1, 4))
+        for o in owners:
+            contents[o] += f"\n# rareterm{r}\n"
+
+    # a few empty and a few very large docs
+    for j in range(min(3, n)):
+        contents[j * (n // 4 + 1) % n] = ""
+    big = " ".join(["bigblock " * 8] * 4096)  # ~ 288 KB
+    for j in range(min(2, n)):
+        k = (7 + j * (n // 3 + 1)) % n
+        contents[k] = contents[k] + " " + big
+
+    pdf = pd.DataFrame(
+        {
+            "repo": repos[repo_idx],
+            "path": paths,
+            "commit": commits,
+            "lang": langs,
+            "content": contents,
+        }
+    )
+    # natural key must be unique: (repo, path, commit) — paths embed row idx
+    return pdf
+
+
+def write_corpus_parquet(spark, out_dir: str, sf: float, seed: int = SEED,
+                         partitions: int = 8) -> None:
+    """Write the corpus as a repo-partitioned parquet table (Iceberg stand-in:
+    the sandbox image has no Iceberg jars; layout + manifest semantics are
+    preserved — see index.build)."""
+    pdf = generate_corpus_pdf(sf, seed)
+    df = spark.createDataFrame(pdf)
+    (df.repartition(partitions, "repo")
+       .write.mode("overwrite").parquet(out_dir))
+
+
+def documents_as_corpus(spark, sf_dir: str):
+    """Adapter: driver fixture documents.parquet → corpus shape
+    (FIXTURES.md §5): content := text, repo := source,
+    path := source || '/' || doc_id, commit := sha1(seed), keep lang."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    commit = hashlib.sha1(f"{SEED}".encode()).hexdigest()
+    return df.select(
+        F.col("source").alias("repo"),
+        F.concat_ws("/", "source", "doc_id").alias("path"),
+        F.lit(commit).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+        F.col("doc_id"),
+    )

@@ -1,0 +1,131 @@
+"""Code-aware text analysis (tokenization) — vectorized, three-way mirrored.
+
+The reference delegates all analysis to the Elasticsearch server (the mapping
+declares analyzed ``string`` fields, /root/reference/README.md:67-76, and
+documents leave the process as opaque JSON, /root/reference/elastic/v7/
+bulk.go:41-59). This module implements it natively, in three exactly-agreeing
+forms so every downstream result is oracle-checkable:
+
+1. ``term_counts`` / ``_tokenize_pandas`` — the engine path: Arrow-batched
+   pandas inside ``mapInPandas`` (no per-row Python UDFs).
+2. ``tokenize_py`` — a pure-Python reference used by the pytest BM25 oracle.
+3. ``duckdb_tokens_expr`` — the same analysis as a DuckDB SQL expression,
+   used by ``__spark_entry__.oracle_sql``.
+
+Modes:
+
+- ``simple``: lowercase, tokens are maximal ``[a-z0-9]+`` runs.
+- ``code``: camelCase / acronym boundaries become separators first
+  (``getHTTPResponse2`` → ``get http response2``; ``snake_case`` splits on
+  ``_`` since ``_`` matches no token), then lowercase, then tokens are
+  ``[a-z][a-z0-9]*`` or ``[0-9]+`` runs — Lucene word_delimiter-style
+  sub-token analysis for source code identifiers.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+
+# camelCase boundary: lower/digit followed by upper → split
+_CAMEL_1 = (r"([a-z0-9])([A-Z])", r"\1 \2")
+# acronym boundary: UPPER run followed by Upper+lower word → split (HTTPResponse)
+_CAMEL_2 = (r"([A-Z]+)([A-Z][a-z])", r"\1 \2")
+# token shapes after lowering
+_SIMPLE_TOKEN = r"[a-z0-9]+"
+_CODE_TOKEN = r"[a-z][a-z0-9]*|[0-9]+"
+
+_RX_C1 = re.compile(_CAMEL_1[0])
+_RX_C2 = re.compile(_CAMEL_2[0])
+_RX_SIMPLE = re.compile(_SIMPLE_TOKEN)
+_RX_CODE = re.compile(_CODE_TOKEN)
+
+MODES = ("simple", "code")
+
+
+def tokenize_py(text: str | None, mode: str = "code") -> list[str]:
+    """Pure-Python reference tokenizer (test oracle). Must match
+    ``_tokenize_pandas`` and ``duckdb_tokens_expr`` token-for-token."""
+    if text is None or text == "":
+        return []
+    if mode == "simple":
+        return _RX_SIMPLE.findall(text.lower())
+    if mode == "code":
+        s = _RX_C1.sub(_CAMEL_1[1], text)
+        s = _RX_C2.sub(_CAMEL_2[1], s)
+        return _RX_CODE.findall(s.lower())
+    raise ValueError(f"unknown tokenizer mode: {mode}")
+
+
+def _tokenize_pandas(texts: pd.Series, mode: str = "code") -> pd.Series:
+    """Vectorized tokenization of a pandas string Series → Series of lists."""
+    s = texts.fillna("")
+    if mode == "simple":
+        return s.str.lower().str.findall(_SIMPLE_TOKEN)
+    if mode == "code":
+        s = s.str.replace(_CAMEL_1[0], _CAMEL_1[1], regex=True)
+        s = s.str.replace(_CAMEL_2[0], _CAMEL_2[1], regex=True)
+        return s.str.lower().str.findall(_CODE_TOKEN)
+    raise ValueError(f"unknown tokenizer mode: {mode}")
+
+
+def duckdb_tokens_expr(col: str, mode: str = "code") -> str:
+    """DuckDB SQL expression producing the token list for column ``col``.
+
+    Yields a VARCHAR[] identical to ``tokenize_py(col, mode)``; used to make
+    every engine query oracle-checkable in ANSI-ish SQL.
+    """
+    if mode == "simple":
+        return f"regexp_extract_all(lower({col}), '{_SIMPLE_TOKEN}')"
+    if mode == "code":
+        inner = (
+            f"regexp_replace(regexp_replace({col}, "
+            f"'{_CAMEL_1[0]}', '\\1 \\2', 'g'), "
+            f"'{_CAMEL_2[0]}', '\\1 \\2', 'g')"
+        )
+        return f"regexp_extract_all(lower({inner}), '{_CODE_TOKEN}')"
+    raise ValueError(f"unknown tokenizer mode: {mode}")
+
+
+TERM_COUNTS_SCHEMA = "doc_id long, term string, tf int"
+
+
+def term_counts(df, doc_id_col: str = "doc_id", text_col: str = "content",
+                mode: str = "code"):
+    """DataFrame[(doc_id, text)] → DataFrame[(doc_id, term, tf)].
+
+    The engine's analysis stage: Arrow batches in, per-batch pandas
+    explode+groupby (C-level), long-form term frequencies out. This replaces
+    the reference's per-line ``Document.SetData`` parse + projection hot loop
+    (/root/reference/ingestor.go:285-327) with one narrow vectorized stage —
+    no shuffle; the downstream groupBy supplies the only wide exchange.
+
+    Documents with zero tokens (empty/NULL text) emit no rows, mirroring the
+    reference's silent skip of empty documents (/root/reference/
+    ingestor.go:301-322).
+    """
+    src = df.select(doc_id_col, text_col)
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            toks = _tokenize_pandas(pdf[text_col], mode)
+            flat = pd.DataFrame(
+                {"doc_id": pdf[doc_id_col], "term": toks}
+            ).explode("term")
+            flat = flat[flat["term"].notna()]
+            if flat.empty:
+                yield pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                    "term": pd.Series([], dtype="object"),
+                                    "tf": pd.Series([], dtype="int32")})
+                continue
+            out = (
+                flat.groupby(["doc_id", "term"], sort=False)
+                .size()
+                .reset_index(name="tf")
+            )
+            out["tf"] = out["tf"].astype("int32")
+            yield out
+
+    return src.mapInPandas(_batches, schema=TERM_COUNTS_SCHEMA)

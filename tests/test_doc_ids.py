@@ -1,0 +1,30 @@
+from __future__ import annotations
+
+
+from deluge_spark.operators.doc_ids import assign_doc_ids
+
+
+def test_doc_ids_match_global_order(spark, corpus_pdf, corpus_df):
+    got = assign_doc_ids(corpus_df).select("repo", "path", "commit", "doc_id")
+    got_pdf = got.toPandas().sort_values("doc_id").reset_index(drop=True)
+    want = (
+        corpus_pdf[["repo", "path", "commit"]]
+        .sort_values(["repo", "path", "commit"])
+        .reset_index(drop=True)
+    )
+    assert list(got_pdf["doc_id"]) == list(range(len(want)))
+    assert got_pdf["repo"].tolist() == want["repo"].tolist()
+    assert got_pdf["path"].tolist() == want["path"].tolist()
+
+
+def test_doc_ids_stable_across_layouts(spark, corpus_df):
+    a = assign_doc_ids(corpus_df, num_partitions=3)
+    b = assign_doc_ids(corpus_df.repartition(17), num_partitions=11)
+    pa = a.select("path", "doc_id").toPandas().set_index("path")["doc_id"]
+    pb = b.select("path", "doc_id").toPandas().set_index("path")["doc_id"]
+    assert pa.sort_index().equals(pb.sort_index())
+
+
+def test_existing_doc_id_kept(spark):
+    df = spark.createDataFrame([(5, "x")], "doc_id long, content string")
+    assert assign_doc_ids(df) is df
