@@ -1,0 +1,194 @@
+"""Searcher — the engine's query entry point (SURVEY.md §3.4).
+
+Execution mirrors a distributed search engine's scatter/gather: the query's
+terms select segment rows (parquet predicate pushdown on ``term`` inside
+each shard directory), each shard runs block-max WAND locally, and the tiny
+per-shard top-k lists merge globally. Two physical strategies, same
+semantics:
+
+- **distributed** (`groupBy(shard).applyInPandas`): one narrow-ish Spark job
+  whose tasks each own one shard — the 1000-executor path; posting bytes
+  never leave the executors.
+- **coordinator** (driver-side): when the matched posting volume is small
+  (≤ ``local_postings_cap``), the filtered segment rows are collected and
+  WAND runs in-process per shard — interactive-latency path, exactly how an
+  ES coordinating node hits its local shards. Same numpy code either way.
+
+A third mode, ``dataframe``, is the pure-DataFrame BM25 scoring join
+(index/score.py) over the tf checkpoints — the correctness cross-check used
+in three-way agreement tests.
+
+Keyword filters (north-star B7: the ES bool-filter on lang/repo/...) resolve
+to a sorted allowed-doc_id array broadcast into WAND when selective, else
+post-join semantics via the dataframe path.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deluge_spark.functions.tokenizer import tokenize_py
+from deluge_spark.index.build import read_global_stats, read_segments
+from deluge_spark.index.wand import PostingIterator, wand_top_k
+
+RESULT_SCHEMA = "doc_id long, score double"
+
+
+def idf(n_docs: int, df: int) -> float:
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+class Searcher:
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 local_postings_cap: int = 5_000_000,
+                 filter_ids_cap: int = 2_000_000):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.stats = read_global_stats(index_dir)
+        self.mode = self.stats.get("tokenizer_mode", "code")
+        self.local_postings_cap = local_postings_cap
+        self.filter_ids_cap = filter_ids_cap
+        self._terms_path = os.path.join(index_dir, "stats", "terms")
+        self._docs_path = os.path.join(index_dir, "docs")
+
+    # -- helpers ----------------------------------------------------------
+    def _empty(self) -> DataFrame:
+        return self.spark.createDataFrame([], RESULT_SCHEMA)
+
+    def _term_idfs(self, terms: list[str]) -> dict[str, float]:
+        rows = (self.spark.read.parquet(self._terms_path)
+                .filter(F.col("term").isin(terms)).collect())
+        n = self.stats["n_docs"]
+        return {r["term"]: idf(n, int(r["df"])) for r in rows}
+
+    def _allowed_ids(self, filters: dict[str, str] | None) -> np.ndarray | None:
+        if not filters:
+            return None
+        docs = self.spark.read.parquet(self._docs_path)
+        cond = None
+        for col, val in filters.items():
+            c = F.col(col) == val
+            cond = c if cond is None else (cond & c)
+        ids = docs.filter(cond).select("doc_id").limit(
+            self.filter_ids_cap + 1).collect()
+        if len(ids) > self.filter_ids_cap:
+            raise ValueError(
+                "filter too unselective for WAND broadcast; use mode='dataframe'")
+        return np.sort(np.array([r["doc_id"] for r in ids], dtype=np.int64))
+
+    # -- public API -------------------------------------------------------
+    def search(self, query: str, k: int = 10,
+               filters: dict[str, str] | None = None,
+               mode: str = "auto", round_dp: int = 9,
+               fetch: bool = False) -> DataFrame:
+        """Top-k BM25 search → DataFrame(doc_id, score[, doc fields])."""
+        terms = list(dict.fromkeys(tokenize_py(query, self.mode)))
+        if not terms:
+            return self._empty()
+        idfs = self._term_idfs(terms)
+        if not idfs:
+            return self._empty()
+        avgdl = float(self.stats["avgdl"])
+        allowed = self._allowed_ids(filters)
+
+        seg = (read_segments(self.spark, self.index_dir)
+               .filter(F.col("term").isin(list(idfs))))
+
+        if mode == "auto":
+            n_postings = int(
+                seg.agg(F.sum("n_postings")).collect()[0][0] or 0)
+            mode = ("coordinator" if n_postings <= self.local_postings_cap
+                    else "distributed")
+
+        if mode == "coordinator":
+            rows = [r.asDict() for r in seg.collect()]
+            merged: list[tuple[int, float]] = []
+            by_shard: dict[int, list[dict]] = {}
+            for r in rows:
+                by_shard.setdefault(int(r["shard"]), []).append(r)
+            for shard_rows in by_shard.values():
+                its = [PostingIterator(r, idfs[r["term"]], avgdl)
+                       for r in shard_rows]
+                merged.extend(wand_top_k(its, k, round_dp, allowed))
+            merged.sort(key=lambda x: (-round(x[1], round_dp), x[0]))
+            top = merged[:k]
+            out = self.spark.createDataFrame(
+                [(int(d), float(s)) for d, s in top], RESULT_SCHEMA)
+        elif mode == "distributed":
+            out = self._distributed(seg, idfs, avgdl, k, round_dp, allowed)
+        else:
+            raise ValueError(f"unknown mode: {mode}")
+
+        if fetch:
+            docs = self.spark.read.parquet(self._docs_path)
+            cols = [c for c in ("repo", "path", "commit", "lang", "doc_len")
+                    if c in docs.columns]
+            out = out.join(F.broadcast(docs.select("doc_id", *cols)
+                                       .join(out.select("doc_id"), "doc_id",
+                                             "left_semi")), "doc_id")
+        return out.orderBy(F.round("score", round_dp).desc(),
+                           F.col("doc_id").asc())
+
+    def _distributed(self, seg: DataFrame, idfs: dict[str, float],
+                     avgdl: float, k: int, round_dp: int,
+                     allowed: np.ndarray | None) -> DataFrame:
+        """Per-shard WAND via applyInPandas, tiny global merge."""
+        sc = self.spark.sparkContext
+        b_idfs = sc.broadcast(idfs)
+        b_allowed = sc.broadcast(allowed)
+
+        def _shard_wand(pdf: pd.DataFrame) -> pd.DataFrame:
+            its = [
+                PostingIterator(row, b_idfs.value[row["term"]], avgdl)
+                for row in pdf.to_dict("records")
+            ]
+            top = wand_top_k(its, k, round_dp, b_allowed.value)
+            return pd.DataFrame(
+                {"doc_id": [d for d, _ in top],
+                 "score": [s for _, s in top]})
+
+        per_shard = seg.groupBy("shard").applyInPandas(
+            _shard_wand, schema=RESULT_SCHEMA)
+        return (per_shard
+                .orderBy(F.round("score", round_dp).desc(),
+                         F.col("doc_id").asc())
+                .limit(k))
+
+    def search_dataframe(self, query: str, k: int = 10,
+                         filters: dict[str, str] | None = None,
+                         round_dp: int = 9) -> DataFrame:
+        """Pure-DataFrame BM25 path over the tf checkpoints (cross-check)."""
+        from deluge_spark.index.score import bm25_score_query
+
+        terms = list(dict.fromkeys(tokenize_py(query, self.mode)))
+        if not terms:
+            return self._empty()
+        tf_path = os.path.join(self.index_dir, "tf")
+        groups = [os.path.join(tf_path, d) for d in sorted(os.listdir(tf_path))
+                  if d.startswith("group=")]
+        tf = self.spark.read.option("basePath", tf_path).parquet(*groups)
+        dl = (self.spark.read.parquet(self._docs_path)
+              .filter(F.col("doc_len") > 0)
+              .select("doc_id", F.col("doc_len").alias("dl")))
+        # idf stays corpus-global (ES semantics: filters never change scores),
+        # so score first, filter candidates after.
+        scored = bm25_score_query(tf, dl, self.stats["n_docs"],
+                                  self.stats["avgdl"], terms)
+        if filters:
+            docs = self.spark.read.parquet(self._docs_path)
+            cond = None
+            for col, val in filters.items():
+                c = F.col(col) == val
+                cond = c if cond is None else (cond & c)
+            scored = scored.join(docs.filter(cond).select("doc_id"),
+                                 "doc_id", "left_semi")
+        return (scored
+                .select("doc_id", F.round("score", round_dp).alias("score"))
+                .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                .limit(k))

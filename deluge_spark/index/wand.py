@@ -1,0 +1,180 @@
+"""Block-max WAND top-k executor (north-star B5).
+
+The reference's query path is an HTTP call into Elasticsearch; this is the
+native replacement: document-at-a-time WAND (Broder et al. 2003) with
+per-block max-impact pruning (Ding & Suel 2011 "block-max" refinement) over
+the packed posting lists of one shard.
+
+Pruning soundness with the engine's deterministic ranking: the final order
+is (round(score, round_dp) desc, doc_id asc). A candidate can enter the
+top-k when its upper bound could beat the heap floor *after rounding*, so
+all bound checks use ``ub > θ − eps`` with eps = 10^-round_dp — strictly
+safe (bounds are exact-float upper bounds of the exact score; rounding can
+lift a score by at most eps/2).
+
+Skip behavior: ``advance(target)`` jumps whole blocks via the skip table
+(block_last) without decoding them; a block is only varint-decoded when an
+iterator actually lands in it. Hot terms therefore stream block-by-block
+while rare terms drive the pivots — the standard WAND win.
+
+This module is pure numpy/Python on one shard's lists; distribution happens
+in search.py (groupBy(shard).applyInPandas → per-shard top-k → tiny global
+merge), mirroring how Elasticsearch fans a query out to shards and merges.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+
+from deluge_spark.index.codec import decode_block, tfnorm
+
+
+class PostingIterator:
+    """Lazy block-decoding cursor over one (shard, term) posting list."""
+
+    __slots__ = ("idf", "avgdl", "block_first", "block_last", "block_count",
+                 "block_off", "block_max", "data", "n_blocks", "bi", "pos",
+                 "docs", "tfs", "dls", "exhausted", "term_max")
+
+    def __init__(self, row: dict, idf: float, avgdl: float):
+        self.idf = float(idf)
+        self.avgdl = float(avgdl)
+        self.block_first = np.asarray(row["block_first"], dtype=np.int64)
+        self.block_last = np.asarray(row["block_last"], dtype=np.int64)
+        self.block_count = np.asarray(row["block_count"], dtype=np.int64)
+        self.block_off = np.asarray(row["block_off"], dtype=np.int64)
+        self.block_max = np.asarray(row["block_max"], dtype=np.float64)
+        self.data = np.frombuffer(row["data"], dtype=np.uint8)
+        self.n_blocks = len(self.block_off)
+        self.term_max = self.idf * float(self.block_max.max()) if self.n_blocks else 0.0
+        self.bi = -1
+        self.pos = 0
+        self.docs = self.tfs = self.dls = None
+        self.exhausted = self.n_blocks == 0
+        if not self.exhausted:
+            self._enter_block(0)
+
+    def _enter_block(self, bi: int) -> None:
+        self.bi = bi
+        prev_last = int(self.block_last[bi - 1]) if bi > 0 else 0
+        self.docs, self.tfs, self.dls = decode_block(
+            self.data, int(self.block_off[bi]), int(self.block_count[bi]),
+            prev_last)
+        self.pos = 0
+
+    @property
+    def cur_doc(self) -> int:
+        return int(self.docs[self.pos])
+
+    @property
+    def cur_block_max(self) -> float:
+        """idf · block-max tfnorm of the block the cursor is in."""
+        return self.idf * float(self.block_max[self.bi])
+
+    def cur_score(self) -> float:
+        t = float(self.tfs[self.pos]); l = float(self.dls[self.pos])
+        return self.idf * float(tfnorm(np.float64(t), np.float64(l), self.avgdl))
+
+    def advance(self, target: int) -> None:
+        """Move cursor to the first doc ≥ target (skipping blocks undecoded)."""
+        if self.exhausted:
+            return
+        if int(self.block_last[self.bi]) < target:
+            nbi = int(np.searchsorted(self.block_last, target, side="left"))
+            if nbi >= self.n_blocks:
+                self.exhausted = True
+                return
+            self._enter_block(nbi)
+        if self.docs[self.pos] >= target:
+            return
+        self.pos = int(np.searchsorted(self.docs, target, side="left"))
+        if self.pos >= len(self.docs):
+            # target fell in the gap after this block's last doc
+            if self.bi + 1 >= self.n_blocks:
+                self.exhausted = True
+            else:
+                self._enter_block(self.bi + 1)
+
+    def next(self) -> None:
+        self.pos += 1
+        if self.pos >= len(self.docs):
+            if self.bi + 1 >= self.n_blocks:
+                self.exhausted = True
+            else:
+                self._enter_block(self.bi + 1)
+
+
+def wand_top_k(
+    lists: list[PostingIterator],
+    k: int,
+    round_dp: int = 9,
+    allowed: np.ndarray | None = None,
+) -> list[tuple[int, float]]:
+    """Block-max WAND over one shard's iterators → [(doc_id, exact_score)].
+
+    ``allowed``: optional sorted int64 array of permitted doc_ids (keyword
+    filters, north-star B7) — candidates outside it are skipped before
+    scoring.
+    """
+    eps = 10.0 ** (-round_dp)
+    its = [it for it in lists if not it.exhausted]
+    heap: list[tuple[float, int, int]] = []  # (rounded_score, -doc_id, doc_id)
+
+    def theta() -> float:
+        return heap[0][0] if len(heap) >= k else float("-inf")
+
+    while True:
+        its = [it for it in its if not it.exhausted]
+        if not its:
+            break
+        its.sort(key=lambda it: it.cur_doc)
+        # find pivot: first prefix whose Σ term-max could beat the floor
+        ub = 0.0
+        pivot = -1
+        th = theta()
+        for i, it in enumerate(its):
+            ub += it.term_max
+            if ub > th - eps:
+                pivot = i
+                break
+        if pivot < 0:
+            break
+        pivot_doc = its[pivot].cur_doc
+        if its[0].cur_doc == pivot_doc:
+            # all prefix iterators aligned on pivot_doc
+            if allowed is not None:
+                j = int(np.searchsorted(allowed, pivot_doc))
+                if j >= len(allowed) or allowed[j] != pivot_doc:
+                    for it in its:
+                        if not it.exhausted and it.cur_doc == pivot_doc:
+                            it.next()
+                    continue
+            # block-max refinement: tighter bound from current blocks
+            bm_ub = 0.0
+            for it in its:
+                if it.exhausted or it.cur_doc > pivot_doc:
+                    break
+                bm_ub += it.cur_block_max
+            if bm_ub > th - eps:
+                score = 0.0
+                for it in its:
+                    if not it.exhausted and it.cur_doc == pivot_doc:
+                        score += it.cur_score()
+                r = round(score, round_dp)
+                entry = (r, -pivot_doc, pivot_doc, score)
+                if len(heap) < k:
+                    heapq.heappush(heap, entry)
+                elif entry[:2] > heap[0][:2]:
+                    heapq.heapreplace(heap, entry)
+            for it in its:
+                if not it.exhausted and it.cur_doc == pivot_doc:
+                    it.next()
+        else:
+            # advance the smallest-doc iterator up to the pivot doc
+            its[0].advance(pivot_doc)
+
+    out = [(doc, exact) for _, _, doc, exact in heap]
+    out.sort(key=lambda x: (-round(x[1], round_dp), x[0]))
+    return out

@@ -1,0 +1,112 @@
+"""M2/M3: full index build + three-way query agreement + invariants."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from deluge_spark.functions.tokenizer import tokenize_py
+from deluge_spark.index.build import (
+    BuildConfig,
+    build_index,
+    read_global_stats,
+    read_segments,
+)
+from deluge_spark.index.search import Searcher
+
+from tests.oracle import OracleIndex, reference_queries
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, corpus_df, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("index"))
+    build_index(spark, corpus_df, d,
+                BuildConfig(num_shards=4, tokenize_groups=3, shard_batches=2))
+    return d
+
+
+@pytest.fixture(scope="module")
+def oracle(spark, index_dir):
+    docs = spark.read.parquet(f"{index_dir}/docs")
+    return OracleIndex({r["doc_id"]: r["content"]
+                        for r in docs.select("doc_id", "content").collect()})
+
+
+def test_sha256_invariant(spark, corpus_df, index_dir):
+    """north rule: per-row content sha256 equality vs the source table."""
+    docs = spark.read.parquet(f"{index_dir}/docs")
+    src = corpus_df.select(
+        "repo", "path", "commit", F.sha2("content", 256).alias("src_sha"))
+    joined = docs.join(src, ["repo", "path", "commit"])
+    assert joined.count() == corpus_df.count() == docs.count()
+    assert joined.filter(F.col("content_sha256") != F.col("src_sha")).count() == 0
+    # and in python, independent of Spark's sha2:
+    row = docs.select("content", "content_sha256").first()
+    assert hashlib.sha256(row["content"].encode()).hexdigest() == row["content_sha256"]
+
+
+def test_index_invariants(spark, index_dir, oracle):
+    seg = read_segments(spark, index_dir)
+    stats = read_global_stats(index_dir)
+    docs = spark.read.parquet(f"{index_dir}/docs")
+    # N == docs with ≥1 token; avgdl matches oracle
+    assert stats["n_docs"] == oracle.n
+    assert stats["avgdl"] == pytest.approx(oracle.avgdl, rel=1e-12)
+    # sum(df_local) per term == oracle df; total postings == vocabulary mass
+    df_by_term = {r["term"]: r["df"] for r in
+                  spark.read.parquet(f"{index_dir}/stats/terms").collect()}
+    assert df_by_term == dict(oracle.df)
+    # every posting doc_id exists in docs and lands in its shard
+    n_shards = stats["num_shards"]
+    bad = (seg.select("shard", F.explode("block_first").alias("d"))
+           .filter(F.pmod("d", F.lit(n_shards)) != F.col("shard")).count())
+    assert bad == 0
+    assert docs.filter(F.col("doc_len") > 0).count() == stats["n_docs"]
+
+
+@pytest.mark.parametrize("q", reference_queries(), ids=lambda q: q["query"])
+def test_three_way_agreement(spark, index_dir, oracle, q):
+    s = Searcher(spark, index_dir)
+    terms = tokenize_py(q["query"], "code")
+    want = oracle.top_k(terms, q["k"], round_dp=9)
+    got_coord = s.search(q["query"], q["k"], mode="coordinator").collect()
+    got_dist = s.search(q["query"], q["k"], mode="distributed").collect()
+    got_df = s.search_dataframe(q["query"], q["k"]).collect()
+    for name, got in [("coordinator", got_coord), ("distributed", got_dist),
+                      ("dataframe", got_df)]:
+        assert [r.doc_id for r in got] == [d for d, _ in want], name
+        for r, (_, sc) in zip(got, want):
+            assert r.score == pytest.approx(sc, rel=1e-6), name
+
+
+def test_keyword_filter(spark, index_dir, oracle):
+    s = Searcher(spark, index_dir)
+    docs = spark.read.parquet(f"{index_dir}/docs")
+    py_ids = {r["doc_id"] for r in
+              docs.filter(F.col("lang") == "python").select("doc_id").collect()}
+    want = oracle.top_k(["import", "return"], 10, filter_ids=py_ids, round_dp=9)
+    got = s.search("import return", 10, filters={"lang": "python"}).collect()
+    assert [r.doc_id for r in got] == [d for d, _ in want]
+    got_df = s.search_dataframe("import return", 10,
+                                filters={"lang": "python"}).collect()
+    assert [r.doc_id for r in got_df] == [d for d, _ in want]
+
+
+def test_fetch_fields(spark, index_dir):
+    s = Searcher(spark, index_dir)
+    got = s.search("rareterm0", 5, fetch=True).collect()
+    assert got and set(got[0].asDict()) >= {"doc_id", "score", "repo", "path", "lang"}
+
+
+def test_hot_term_split_across_shards(spark, index_dir):
+    """The skew test (SURVEY §5.5): a >50%-df term must be spread over all
+    shards with no shard owning a disproportionate share."""
+    seg = read_segments(spark, index_dir)
+    rows = seg.filter(F.col("term") == "import").select(
+        "shard", "df_local").collect()
+    stats = read_global_stats(index_dir)
+    assert len(rows) == stats["num_shards"]
+    counts = [r["df_local"] for r in rows]
+    assert max(counts) <= 2 * (sum(counts) / len(counts))

@@ -1,0 +1,83 @@
+"""M5: resumability kill-test (SURVEY §5.4).
+
+Build with fault injection killing the job mid-way; re-run; assert
+(a) committed units are NOT re-executed (no re-tokenization),
+(b) the resumed index is byte-identical in content to a clean build.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from deluge_spark.index.build import (
+    BuildConfig,
+    FaultInjected,
+    build_index,
+    read_segments,
+)
+from deluge_spark.index.manifest import Manifest
+
+
+def _segment_checksums(spark, index_dir):
+    seg = read_segments(spark, index_dir)
+    return {
+        (r["shard"], r["term"]): (r["n_postings"], bytes(r["data"]))
+        for r in seg.collect()
+    }
+
+
+def test_kill_and_resume_identical(spark, corpus_df, tmp_path_factory):
+    clean_dir = str(tmp_path_factory.mktemp("idx_clean"))
+    kill_dir = str(tmp_path_factory.mktemp("idx_killed"))
+    cfg = BuildConfig(num_shards=4, tokenize_groups=4, shard_batches=4)
+
+    build_index(spark, corpus_df, clean_dir, cfg)
+
+    # killed run: 2 tokenize groups commit, then crash
+    cfg_kill = BuildConfig(num_shards=4, tokenize_groups=4, shard_batches=4,
+                           fail_after={"tokenize": 2})
+    with pytest.raises(FaultInjected):
+        build_index(spark, corpus_df, kill_dir, cfg_kill)
+    man = Manifest(kill_dir)
+    done = {e["unit"] for e in man.entries() if e["status"] == "done"}
+    assert done == {"tokenize_g0", "tokenize_g1"}
+
+    # second crash mid-segments
+    cfg_kill2 = BuildConfig(num_shards=4, tokenize_groups=4, shard_batches=4,
+                            fail_after={"segments": 2})
+    with pytest.raises(FaultInjected):
+        build_index(spark, corpus_df, kill_dir, cfg_kill2)
+    m2 = build_index(spark, corpus_df, kill_dir, cfg)  # resume to completion
+
+    # no re-tokenization of committed groups, no rebuild of committed batches
+    assert m2["retokenized_groups"] == 0
+    assert m2["rebuilt_shard_batches"] == 2
+    assert Manifest(kill_dir).is_sealed()
+
+    # resumed index content-identical to the clean build
+    assert _segment_checksums(spark, kill_dir) == _segment_checksums(spark, clean_dir)
+    docs_a = spark.read.parquet(f"{clean_dir}/docs")
+    docs_b = spark.read.parquet(f"{kill_dir}/docs")
+    assert docs_a.count() == docs_b.count()
+    assert (docs_a.select("doc_id", "content_sha256")
+            .exceptAll(docs_b.select("doc_id", "content_sha256")).count()) == 0
+
+
+def test_idempotent_rerun_is_noop(spark, corpus_df, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx_noop"))
+    cfg = BuildConfig(num_shards=2, tokenize_groups=2, shard_batches=1)
+    build_index(spark, corpus_df, d, cfg)
+    m = build_index(spark, corpus_df, d, cfg)
+    assert m["retokenized_groups"] == 0
+    assert m["rebuilt_shard_batches"] == 0
+
+
+def test_fingerprint_change_invalidates(spark, corpus_df, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx_fp"))
+    cfg = BuildConfig(num_shards=2, tokenize_groups=2, shard_batches=1)
+    build_index(spark, corpus_df, d, cfg)
+    # different source (schema change) → fingerprint differs → rebuild
+    changed = corpus_df.withColumn("extra", F.lit(1))
+    m = build_index(spark, changed, d, cfg)
+    assert m["retokenized_groups"] == 2
