@@ -1,0 +1,284 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's scope (deluge never dedups — ES doc `_id` overwrite
+is its only dedup story), these are first-class citizens of a 100 TB corpus
+pipeline. All are pure DataFrame compositions (JVM-side, codegen'd) except
+where hashing math needs numpy (MinHash), which runs in Arrow-batched pandas.
+
+Scale notes per operator:
+- exact: one hash-groupBy shuffle; hash first so the shuffle key is 32 B,
+  not the document.
+- minhash_lsh: shingle explode → per-doc signature (single groupBy via
+  positional min-aggregation) → band explode → bucket groupBy. Candidate
+  pairs verified with exact Jaccard; no O(n²) stage anywhere.
+- simhash: per-doc 64-bit fingerprint via weighted bit-vote, bucket join on
+  rotated prefixes for Hamming-neighbor candidates.
+- ngram_jaccard: exact all-pairs via shingle equi-join — quadratic in the
+  worst case; the LSH variants are the scale path, this is the oracle-able
+  exact baseline (cap with a shingle-df ceiling to kill stopword-shingle
+  blowup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Spark-SQL code tokenizer (JVM-side twin of functions/tokenizer.py; same
+# token language, usable where no Python worker is wanted).
+SQL_TOKENS_CODE = (
+    "regexp_extract_all(lower(regexp_replace(regexp_replace({col}, "
+    "'([a-z0-9])([A-Z])', '$1 $2'), '([A-Z]+)([A-Z][a-z])', '$1 $2')), "
+    "'[a-z][a-z0-9]*|[0-9]+', 0)"
+)
+SQL_TOKENS_SIMPLE = "regexp_extract_all(lower({col}), '[a-z0-9]+', 0)"
+
+
+def tokens_col(col: str, mode: str = "simple"):
+    expr = SQL_TOKENS_CODE if mode == "code" else SQL_TOKENS_SIMPLE
+    return F.expr(expr.format(col=col))
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Group identical texts → (content_hash, n_docs, min_doc_id)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), id_col)
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.min(id_col).cast("long").alias("min_doc_id"))
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Keep one representative (min id) per identical text."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+def _shingles(df: DataFrame, id_col: str, text_col: str, n: int,
+              mode: str = "simple") -> DataFrame:
+    """(id, text) → distinct (id, shingle) word n-grams."""
+    toks = tokens_col(text_col, mode)
+    if n == 1:
+        sh = toks
+    else:
+        # sliding window over the token array, JVM-side; guard short docs
+        # (sequence(1, 0) would count DOWN in Spark)
+        sh = F.expr(
+            f"CASE WHEN size(_toks) >= {n} THEN "
+            f"transform(sequence(1, size(_toks) - {n - 1}), "
+            f"i -> concat_ws(' ', slice(_toks, i, {n}))) "
+            f"ELSE array() END"
+        )
+        df = df.withColumn("_toks", toks)
+    out = (df.withColumn("_sh", F.explode_outer(sh))
+           .filter(F.col("_sh").isNotNull())
+           .select(F.col(id_col).alias("id"), F.col("_sh").alias("shingle"))
+           .distinct())
+    return out
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 1,
+                        threshold: float = 0.5, mode: str = "simple",
+                        max_shingle_df: int | None = None) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs → (doc_a, doc_b, jaccard), a<b.
+
+    ``max_shingle_df`` drops shingles present in more than that many docs
+    before pairing (stopword-shingle blowup guard at scale; None = exact).
+    """
+    sh = _shingles(df, id_col, text_col, n, mode).cache()
+    if max_shingle_df is not None:
+        hot = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+               .filter(F.col("sdf") > max_shingle_df).select("shingle"))
+        sh = sh.join(hot, "shingle", "left_anti")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a"); b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "doc_a")
+                   .withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("id", "doc_b")
+              .withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn("jaccard",
+                    F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+# 31-bit Mersenne prime: a·h stays < 2^62, no long overflow under ANSI mode
+MERSENNE = (1 << 31) - 1
+
+
+def _minhash_params(num_hashes: int, seed: int = 42) -> tuple[list[int], list[int]]:
+    import random
+
+    rnd = random.Random(seed)
+    a = [rnd.randrange(1, MERSENNE) for _ in range(num_hashes)]
+    b = [rnd.randrange(0, MERSENNE) for _ in range(num_hashes)]
+    return a, b
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n: int = 2,
+                       num_hashes: int = 64, seed: int = 42,
+                       mode: str = "simple") -> DataFrame:
+    """(id, text) → (id, sig array<long>) MinHash signatures.
+
+    Base shingle hash = xxhash64 (JVM, codegen); the i-th permutation is
+    ``(a_i·h + b_i) mod M61`` computed via JVM arithmetic on the exploded
+    shingle table, aggregated with one groupBy(id).min per row — expressed
+    as array aggregation so it remains ONE shuffle:
+    sig[i] = min over shingles of perm_i(h).
+    """
+    a, b = _minhash_params(num_hashes, seed)
+    sh = _shingles(df, id_col, text_col, n, mode)
+    h = F.abs(F.xxhash64("shingle")) % F.lit(MERSENNE)
+    perms = F.array(*[
+        ((F.lit(a[i]) * h + F.lit(b[i])) % F.lit(MERSENNE))
+        for i in range(num_hashes)
+    ])
+    exploded = sh.select("id", perms.alias("perms"))
+    # positional min across rows: aggregate arrays with zip_with(least)
+    zero = F.array(*[F.lit(MERSENNE).cast("long")] * num_hashes)
+    return (
+        exploded.groupBy("id")
+        .agg(F.reduce(
+            F.collect_list("perms"), zero,
+            lambda acc, x: F.zip_with(acc, x, lambda p, q: F.least(p, q)),
+        ).alias("sig"))
+    )
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 2,
+                      num_hashes: int = 64, bands: int = 16,
+                      threshold: float = 0.5, seed: int = 42,
+                      mode: str = "simple",
+                      verify_exact: bool = True) -> DataFrame:
+    """MinHash-LSH near-dup candidates → (doc_a, doc_b[, jaccard]).
+
+    bands×rows = num_hashes; docs sharing any full band bucket become
+    candidates (banding S-curve); with verify_exact each candidate pair is
+    checked with true shingle Jaccard ≥ threshold (pairs-only join — no
+    all-pairs blowup).
+    """
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed, mode)
+    banded = sig.select(
+        "id",
+        F.posexplode(F.array(*[
+            F.hash(F.slice("sig", i * rows + 1, rows).cast("array<string>")
+                   .cast("string"), F.lit(i))
+            for i in range(bands)
+        ])).alias("band", "bucket"),
+    )
+    cand = (
+        banded.alias("x").join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.id") < F.col("y.id")))
+        .select(F.col("x.id").alias("doc_a"), F.col("y.id").alias("doc_b"))
+        .distinct()
+    )
+    if not verify_exact:
+        return cand
+    sh = _shingles(df, id_col, text_col, n, mode)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    sh_a = sh.select(F.col("id").alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col("id").alias("doc_b"), "shingle")
+    inter = (cand.join(sh_a, "doc_a").join(sh_b, ["doc_b", "shingle"])
+             .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("inter")))
+    return (
+        inter
+        .join(sizes.withColumnRenamed("id", "doc_a")
+              .withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("id", "doc_b")
+              .withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn("jaccard",
+                    F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            mode: str = "simple") -> DataFrame:
+    """(id, text) → (id, simhash long): 64-bit weighted bit-vote fingerprint.
+
+    Pure DataFrame: explode tokens with tf weights, xxhash64 each token,
+    per-bit vote = Σ tf·(bit ? +1 : −1), fingerprint bit = vote > 0.
+    One groupBy(id) shuffle.
+    """
+    toks = (df.select(F.col(id_col).alias("id"),
+                      F.explode(tokens_col(text_col, mode)).alias("tok"))
+            .groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf")))
+    h = F.xxhash64("tok")
+    votes = F.array(*[
+        (F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.col("tf"))
+         .otherwise(-F.col("tf"))).cast("long")
+        for i in range(64)
+    ])
+    agg = (toks.select("id", votes.alias("v"))
+           .groupBy("id")
+           .agg(F.reduce(F.collect_list("v"),
+                         F.array(*[F.lit(0).cast("long")] * 64),
+                         lambda acc, x: F.zip_with(acc, x, lambda p, q: p + q))
+                .alias("votes")))
+    bits = F.lit(0).cast("long")
+    for i in range(64):
+        val = (1 << i) if i < 63 else -(1 << 63)  # bit 63 = sign bit
+        bits = bits.bitwiseOR(
+            F.when(F.element_at("votes", i + 1) > 0, F.lit(val).cast("long"))
+            .otherwise(F.lit(0).cast("long")))
+    return agg.select("id", bits.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", max_hamming: int = 3,
+                       mode: str = "simple") -> DataFrame:
+    """Candidate near-dup pairs with Hamming(simhash) ≤ max_hamming.
+
+    Block on 4×16-bit chunks (pigeonhole: ≤3 differing bits ⇒ some 16-bit
+    chunk identical) — bucket join, then exact popcount filter.
+    """
+    sh = simhash(df, id_col, text_col, mode).cache()
+    chunks = sh.select(
+        "id", "simhash",
+        F.posexplode(F.array(*[
+            F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+            .cast("int")
+            for i in range(4)
+        ])).alias("chunk_idx", "chunk"),
+    )
+    cand = (chunks.alias("x").join(
+        chunks.alias("y"),
+        (F.col("x.chunk_idx") == F.col("y.chunk_idx"))
+        & (F.col("x.chunk") == F.col("y.chunk"))
+        & (F.col("x.id") < F.col("y.id")))
+        .select(F.col("x.id").alias("doc_a"), F.col("x.simhash").alias("h_a"),
+                F.col("y.id").alias("doc_b"), F.col("y.simhash").alias("h_b"))
+        .distinct())
+    ham = F.expr("bit_count(h_a ^ h_b)")
+    return (cand.withColumn("hamming", ham)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming"))

@@ -1,0 +1,172 @@
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from deluge_spark.operators.dedup import (
+    exact_dedup,
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from deluge_spark.operators.similarity import cosine_top_k, rp_lsh_top_k
+from deluge_spark.functions import text as T
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    near = base + " today"                       # near-dup of base
+    far = "completely different words about spark joins and shuffles here"
+    rows = [
+        (0, base), (1, near), (2, far),
+        (3, base),                                # exact dup of 0
+        (4, "the quick brown fox jumps over the lazy dog near the river"),
+        (5, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (6, ""), (7, None),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    groups = exact_dedup_groups(docs.filter("text is not null")).collect()
+    by_hash = {r.content_hash: (r.n_docs, r.min_doc_id) for r in groups}
+    assert (2, 0) in by_hash.values()            # docs 0 and 3
+    kept = exact_dedup(docs.filter("text is not null"))
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert 0 in ids and 3 not in ids
+    assert len(ids) == 6
+
+
+def test_ngram_jaccard(docs):
+    pairs = ngram_jaccard_pairs(docs, n=2, threshold=0.5).collect()
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in pairs}
+    assert (0, 3) in got and got[(0, 3)] == 1.0   # exact dup
+    assert (0, 1) in got                          # near dup
+    assert all(not (a == 2 or b == 2) for a, b in got)  # far doc matches none
+
+
+def test_ngram_jaccard_matches_python(docs):
+    """Exact Jaccard cross-checked against a set-based python computation."""
+    pdf = docs.toPandas()
+    import re
+    def sh2(t):
+        toks = re.findall(r"[a-z0-9]+", (t or "").lower())
+        return {" ".join(toks[i:i+2]) for i in range(len(toks)-1)}
+    want = {}
+    for i in range(len(pdf)):
+        for j in range(i+1, len(pdf)):
+            a, b = sh2(pdf.text[i]), sh2(pdf.text[j])
+            if a and b:
+                jac = len(a & b) / len(a | b)
+                if jac >= 0.3:
+                    want[(pdf.doc_id[i], pdf.doc_id[j])] = round(jac, 6)
+    got = {(r.doc_a, r.doc_b): r.jaccard
+           for r in ngram_jaccard_pairs(docs, n=2, threshold=0.3).collect()}
+    assert got == want
+
+
+def test_minhash_lsh_finds_near_dupes(docs):
+    pairs = minhash_lsh_pairs(docs, n=2, num_hashes=64, bands=16,
+                              threshold=0.5).collect()
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    assert (0, 3) in got and (0, 1) in got
+    # verified jaccard matches exact computation
+    jac = {(r.doc_a, r.doc_b): r.jaccard for r in pairs}
+    exact = {(r.doc_a, r.doc_b): r.jaccard
+             for r in ngram_jaccard_pairs(docs, n=2, threshold=0.5).collect()}
+    for p, v in jac.items():
+        assert exact[p] == v
+
+
+def test_minhash_signature_determinism(docs, spark):
+    s1 = {r.id: r.sig for r in minhash_signatures(docs, n=2).collect()}
+    s2 = {r.id: r.sig for r in
+          minhash_signatures(docs.repartition(7), n=2).collect()}
+    assert s1 == s2
+    assert all(len(v) == 64 for v in s1.values())
+
+
+def test_simhash_near_pairs(docs):
+    h = {r.id: r.simhash for r in simhash(docs).collect()}
+    assert h[0] == h[3]                           # identical docs
+    pairs = simhash_near_pairs(docs, max_hamming=3).collect()
+    got = {(r.doc_a, r.doc_b): r.hamming for r in pairs}
+    assert got.get((0, 3)) == 0
+    # completeness guarantee (pigeonhole, 4 chunks): every pair with
+    # hamming ≤ 3 must be found; nothing above the cap is returned
+    ids = sorted(h)
+    brute = {(a, b): bin((h[a] ^ h[b]) & (2**64 - 1)).count("1")
+             for i, a in enumerate(ids) for b in ids[i + 1:]}
+    want = {p: d for p, d in brute.items() if d <= 3}
+    assert got == want
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(7)
+    vs = rng.standard_normal((100, 16)).astype(np.float32)
+    vs[1] = vs[0] + 0.01 * rng.standard_normal(16).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(100), "embedding": list(map(list, vs))})
+    return spark.createDataFrame(pdf), vs
+
+
+def test_cosine_topk_matches_numpy(vectors):
+    df, vs = vectors
+    q = vs[0].astype(np.float64)
+    sims = (vs.astype(np.float64) @ q) / (
+        np.linalg.norm(vs.astype(np.float64), axis=1) * np.linalg.norm(q))
+    order = sorted((-round(s, 6), i) for i, s in enumerate(sims) if i != 0)
+    want = [(i, -s) for s, i in order[:10]]
+    got = [(r.vec_id, r.sim)
+           for r in cosine_top_k(df, list(vs[0]), 10, exclude_id=0).collect()]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert g[1] == pytest.approx(w[1], abs=1e-6)
+    assert got[0][0] == 1                          # the planted neighbor
+
+
+def test_rp_lsh_recalls_nearest(vectors):
+    df, vs = vectors
+    got = rp_lsh_top_k(df, list(vs[0]), 5, n_planes=16, bands=8,
+                       exclude_id=0).collect()
+    assert got and got[0].vec_id == 1
+
+
+def test_text_functions_match_duckdb(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')")
+
+    got = T.quality_score(df).toPandas().sort_values("doc_id").reset_index(drop=True)
+    cols = T.quality_score_sql("text")
+    want = con.execute(
+        "SELECT doc_id, " + ", ".join(f"{v} AS {k}" for k, v in cols.items())
+        + " FROM documents ORDER BY doc_id").df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-9)
+
+    got = T.token_counts(df).toPandas().sort_values("doc_id").reset_index(drop=True)
+    cols = T.token_counts_sql("text")
+    want = con.execute(
+        "SELECT doc_id, " + ", ".join(f"{v} AS {k}" for k, v in cols.items())
+        + " FROM documents ORDER BY doc_id").df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    got = T.fingerprint(df).toPandas().sort_values("doc_id").reset_index(drop=True)
+    want = con.execute(
+        f"SELECT doc_id, {T.fingerprint_sql('text')} AS fp "
+        "FROM documents ORDER BY doc_id").df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    got = T.lang_id(df).toPandas().sort_values("doc_id").reset_index(drop=True)
+    want = con.execute(
+        f"SELECT doc_id, {T.lang_id_sql('text')} AS lang_pred "
+        "FROM documents ORDER BY doc_id").df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
