@@ -1,38 +1,347 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship BM25 query end-to-end on sf0.001.
+``queries()`` exposes one callable per implemented operator (SURVEY.md §2 +
+the training-data pipeline ops); ``oracle_sql()`` gives the DuckDB-runnable
+ANSI SQL twin for every SQL-expressible one. Hash-based ops (MinHash, SimHash,
+RP-LSH) have no SQL twin → rows-only check, by design.
+
+All BM25 queries here run through the engine's JVM-side tokenizer twin
+(deluge_spark.operators.dedup.tokens_col — token-identical to the pandas-UDF
+path, proven by tests/test_tokenizer.py) so the contract has zero dependence
+on executor PYTHONPATH; the pandas/Arrow tokenize path is exercised by the
+pytest suite and bench.py.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from deluge_spark.functions import text as dtext  # noqa: E402
+from deluge_spark.functions.tokenizer import duckdb_tokens_expr, tokenize_py  # noqa: E402
+from deluge_spark.operators.dedup import (  # noqa: E402
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+    tokens_col,
+)
+from deluge_spark.operators.similarity import cosine_top_k, rp_lsh_top_k  # noqa: E402
+
+K1, B = 1.2, 0.75
+SCORE_DP = 4  # rounded-score ordering: deterministic ranks across engines
+
+
+# ---------------------------------------------------------------------------
+# engine-side building blocks (JVM tokenizer twin; one shuffle per stage)
+# ---------------------------------------------------------------------------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _tf(docs: DataFrame) -> DataFrame:
+    return (docs
+            .select("doc_id", F.explode(tokens_col("text", "code")).alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+
+
+def _bm25(spark: SparkSession, sf_dir: str, query: str, k: int,
+          lang: str | None = None) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    terms = list(dict.fromkeys(tokenize_py(query, "code")))
+    tf = _tf(docs)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    n, avgdl = int(stats["n"]), float(stats["avgdl"])
+    m = tf.filter(F.col("term").isin(terms))
+    idf = (m.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+           .select("term", F.log(1.0 + (F.lit(float(n)) - F.col("df") + 0.5)
+                                 / (F.col("df") + 0.5)).alias("idf")))
+    scored = (m.join(F.broadcast(idf), "term").join(dl, "doc_id")
+              .withColumn("ps", F.col("idf") * (F.col("tf") * (K1 + 1.0))
+                          / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / avgdl)))
+              .groupBy("doc_id").agg(F.sum("ps").alias("s")))
+    if lang is not None:
+        scored = scored.join(docs.filter(F.col("lang") == lang)
+                             .select("doc_id"), "doc_id", "left_semi")
+    return (scored.select("doc_id", F.round("s", SCORE_DP).alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k))
+
+
+def _bm25_sql(query: str, k: int, lang: str | None = None) -> str:
+    terms = list(dict.fromkeys(tokenize_py(query, "code")))
+    vals = ", ".join(f"('{t}')" for t in terms)
+    toks = duckdb_tokens_expr("text", "code")
+    lang_clause = (
+        f"AND doc_id IN (SELECT doc_id FROM documents WHERE lang = '{lang}')"
+        if lang else "")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, avg(dl) AS avgdl FROM dl
+), q(term) AS (VALUES {vals}),
+m AS (SELECT tf.* FROM tf WHERE term IN (SELECT term FROM q)),
+idf AS (
+  SELECT term, ln(1.0 + (stats.n - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+  FROM m CROSS JOIN stats GROUP BY term, stats.n
+), scored AS (
+  SELECT m.doc_id,
+         sum(idf.idf * (m.tf * ({K1} + 1.0))
+             / (m.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl))) AS s
+  FROM m JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY m.doc_id
+)
+SELECT doc_id, ROUND(s, {SCORE_DP}) AS score FROM scored
+WHERE 1=1 {lang_clause}
+ORDER BY ROUND(s, {SCORE_DP}) DESC, doc_id LIMIT {k}
+"""
+
+
+TOKS_SQL = duckdb_tokens_expr("text", "code")
+SIMPLE_TOKS_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+
+# ---------------------------------------------------------------------------
+# the contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-10 for a multi-term query on sf0.001."""
+    return _bm25(spark, "/root/testdata/sf0.001", "spark join table", 10)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- full-text engine (north rule) ---------------------------------
+    q["bm25_topk_multi"] = lambda s, d: _bm25(s, d, "spark join table", 10)
+    q["bm25_topk_hot"] = lambda s, d: _bm25(s, d, "data", 20)
+    q["bm25_topk_rare_pair"] = lambda s, d: _bm25(s, d, "window order fast", 15)
+    q["bm25_topk_filtered"] = lambda s, d: _bm25(s, d, "batch value", 10, lang="en")
+    q["bm25_topk_missing"] = lambda s, d: _bm25(s, d, "zzzabsentterm", 10)
+
+    def term_stats(s, d):
+        tf = _tf(_docs(s, d))
+        return (tf.groupBy("term")
+                .agg(F.count(F.lit(1)).cast("long").alias("df"),
+                     F.sum("tf").cast("long").alias("cf"))
+                .orderBy(F.col("df").desc(), F.col("term").asc()).limit(50))
+    q["term_stats_top50"] = term_stats
+
+    def corpus_stats(s, d):
+        tf = _tf(_docs(s, d))
+        dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+        return dl.agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                      F.round(F.avg("dl"), 6).alias("avgdl"),
+                      F.sum("dl").cast("long").alias("total_tokens"))
+    q["corpus_stats"] = corpus_stats
+
+    def doc_lengths(s, d):
+        return (_tf(_docs(s, d)).groupBy("doc_id")
+                .agg(F.sum("tf").cast("long").alias("dl")))
+    q["doc_lengths"] = doc_lengths
+
+    # --- reference ingestion semantics (SURVEY §2A) ---------------------
+    def project_id_type_source(s, d):
+        # deluge's (id, type, source) projection + silent empty/null skip
+        # (/root/reference/ingestor.go:285-327)
+        docs = _docs(s, d)
+        return (docs.select(F.col("doc_id").cast("string").alias("id"),
+                            F.col("lang").alias("type"),
+                            F.col("text").alias("source"))
+                .filter(F.col("id").isNotNull() & (F.col("id") != "")
+                        & F.col("type").isNotNull() & (F.col("type") != "")
+                        & F.col("source").isNotNull() & (F.col("source") != "")))
+    q["project_id_type_source"] = project_id_type_source
+
+    def exclude_filter(s, d):
+        # path-exclude + skip-empty (/root/reference/util/exclude.go:8-28)
+        docs = _docs(s, d)
+        return (docs.filter(~F.col("source").isin("src0", "src7")
+                            & (F.length("text") > 0))
+                .select("doc_id", "source"))
+    q["exclude_filter"] = exclude_filter
+
+    def typed_projection(s, d):
+        # lenient typed field accessors (/root/reference/document/csv.go:45-129):
+        # try_cast semantics — failures yield NULL, never errors
+        ev = s.read.parquet(f"{d}/events.parquet")
+        return ev.select(
+            "event_id",
+            F.regexp_extract("props", r"(\d+)", 1).try_cast("long").alias("k_val"),
+            F.round(F.col("value"), 4).alias("value"),
+            F.col("event_type").alias("type"),
+        )
+    q["typed_projection"] = typed_projection
+
+    def events_hourly(s, d):
+        ev = s.read.parquet(f"{d}/events.parquet")
+        return (ev.groupBy(F.date_format("ts", "yyyy-MM-dd HH").alias("hour"),
+                           "event_type")
+                .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                     F.round(F.sum("value"), 4).alias("sum_value")))
+    q["events_hourly"] = events_hourly
+
+    def top_terms_per_lang(s, d):
+        from pyspark.sql import Window
+        docs = _docs(s, d)
+        tf = (docs.select("lang", "doc_id",
+                          F.explode(tokens_col("text", "code")).alias("term"))
+              .groupBy("lang", "term")
+              .agg(F.countDistinct("doc_id").cast("long").alias("df")))
+        w = Window.partitionBy("lang").orderBy(F.col("df").desc(),
+                                               F.col("term").asc())
+        return (tf.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= 3)
+                .select("lang", "term", "df", F.col("rank").cast("long").alias("rank")))
+    q["top_terms_per_lang"] = top_terms_per_lang
+
+    # --- dedup family ----------------------------------------------------
+    q["dedup_exact_groups"] = lambda s, d: exact_dedup_groups(_docs(s, d))
+    q["dedup_ngram_jaccard"] = lambda s, d: ngram_jaccard_pairs(
+        _docs(s, d), n=1, threshold=0.5, mode="simple")
+    q["dedup_minhash_lsh"] = lambda s, d: minhash_lsh_pairs(
+        _docs(s, d), n=2, num_hashes=64, bands=16, threshold=0.35)
+    q["dedup_simhash"] = lambda s, d: simhash_near_pairs(
+        _docs(s, d), max_hamming=3)
+
+    # --- similarity search ------------------------------------------------
+    def ann_brute(s, d):
+        emb = s.read.parquet(f"{d}/embeddings.parquet")
+        qv = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+        return cosine_top_k(emb, list(qv), 10, exclude_id=0)
+    q["ann_cosine_topk"] = ann_brute
+
+    def ann_lsh(s, d):
+        emb = s.read.parquet(f"{d}/embeddings.parquet")
+        qv = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+        return rp_lsh_top_k(emb, list(qv), 10, n_planes=16, bands=8,
+                            exclude_id=0)
+    q["ann_rp_lsh_topk"] = ann_lsh
+
+    # --- text analysis -----------------------------------------------------
+    q["lang_id"] = lambda s, d: dtext.lang_id(_docs(s, d))
+    q["quality_score"] = lambda s, d: dtext.quality_score(_docs(s, d))
+    q["token_count"] = lambda s, d: dtext.token_counts(_docs(s, d))
+    q["doc_fingerprint"] = lambda s, d: dtext.fingerprint(_docs(s, d))
+
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+    o["bm25_topk_multi"] = _bm25_sql("spark join table", 10)
+    o["bm25_topk_hot"] = _bm25_sql("data", 20)
+    o["bm25_topk_rare_pair"] = _bm25_sql("window order fast", 15)
+    o["bm25_topk_filtered"] = _bm25_sql("batch value", 10, lang="en")
+    o["bm25_topk_missing"] = _bm25_sql("zzzabsentterm", 10)
+
+    o["term_stats_top50"] = f"""
+WITH tok AS (SELECT doc_id, unnest({TOKS_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2)
+SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf
+FROM tf GROUP BY term ORDER BY df DESC, term LIMIT 50
+"""
+    o["corpus_stats"] = f"""
+WITH tok AS (SELECT doc_id, unnest({TOKS_SQL}) AS term FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS n_docs, ROUND(avg(dl), 6) AS avgdl,
+       CAST(sum(dl) AS BIGINT) AS total_tokens FROM dl
+"""
+    o["doc_lengths"] = f"""
+WITH tok AS (SELECT doc_id, unnest({TOKS_SQL}) AS term FROM documents)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id
+"""
+    o["project_id_type_source"] = """
+SELECT CAST(doc_id AS VARCHAR) AS id, lang AS type, text AS source
+FROM documents
+WHERE doc_id IS NOT NULL AND lang IS NOT NULL AND lang <> ''
+  AND text IS NOT NULL AND text <> ''
+"""
+    o["exclude_filter"] = """
+SELECT doc_id, source FROM documents
+WHERE source NOT IN ('src0', 'src7') AND length(text) > 0
+"""
+    o["typed_projection"] = r"""
+SELECT event_id,
+       TRY_CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT) AS k_val,
+       ROUND(value, 4) AS value, event_type AS type
+FROM events
+"""
+    o["events_hourly"] = """
+SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+       CAST(count(*) AS BIGINT) AS n, ROUND(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+    o["top_terms_per_lang"] = f"""
+WITH tok AS (SELECT lang, doc_id, unnest({TOKS_SQL}) AS term FROM documents),
+tf AS (SELECT lang, term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       FROM tok GROUP BY 1, 2),
+r AS (SELECT lang, term, df,
+             row_number() OVER (PARTITION BY lang ORDER BY df DESC, term) AS rank
+      FROM tf)
+SELECT lang, term, df, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 3
+"""
+    o["dedup_exact_groups"] = """
+SELECT md5(text) AS content_hash, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id
+FROM documents GROUP BY md5(text)
+"""
+    o["dedup_ngram_jaccard"] = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id AS id, unnest({SIMPLE_TOKS_SQL}) AS shingle
+  FROM documents
+), sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.id AS doc_a, b.id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = doc_a JOIN sizes sb ON sb.id = doc_b
+WHERE i / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5
+"""
+    o["ann_cosine_topk"] = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT vec_id,
+         list_dot_product(CAST(embedding AS DOUBLE[]), q.v)
+         / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(q.v, q.v))) AS sim
+  FROM embeddings, q WHERE vec_id <> 0
+)
+SELECT vec_id, ROUND(sim, 6) AS sim FROM s
+ORDER BY ROUND(sim, 6) DESC, vec_id LIMIT 10
+"""
+    o["lang_id"] = (
+        f"SELECT doc_id, {dtext.lang_id_sql('text')} AS lang_pred FROM documents")
+    qcols = dtext.quality_score_sql("text")
+    o["quality_score"] = ("SELECT doc_id, "
+                          + ", ".join(f"{v} AS {k}" for k, v in qcols.items())
+                          + " FROM documents")
+    tcols = dtext.token_counts_sql("text")
+    o["token_count"] = ("SELECT doc_id, "
+                        + ", ".join(f"{v} AS {k}" for k, v in tcols.items())
+                        + " FROM documents")
+    o["doc_fingerprint"] = (
+        f"SELECT doc_id, {dtext.fingerprint_sql('text')} AS fp FROM documents")
+    # dedup_minhash_lsh / dedup_simhash / ann_rp_lsh_topk: hash-based,
+    # not SQL-expressible → rows-only checks by design.
+    return o

@@ -47,7 +47,13 @@ def idf(n_docs: int, df: int) -> float:
 class Searcher:
     def __init__(self, spark: SparkSession, index_dir: str,
                  local_postings_cap: int = 5_000_000,
-                 filter_ids_cap: int = 2_000_000):
+                 filter_ids_cap: int = 2_000_000,
+                 cache_stats: bool = True,
+                 cache_segments: bool = False):
+        """``cache_stats`` pulls the (small) term→df table to the driver once
+        — the coordinating-node dictionary. ``cache_segments`` persists the
+        segment DataFrame in cluster memory (interactive serving mode; leave
+        off for one-shot batch queries over huge indexes)."""
         self.spark = spark
         self.index_dir = index_dir
         self.stats = read_global_stats(index_dir)
@@ -56,15 +62,34 @@ class Searcher:
         self.filter_ids_cap = filter_ids_cap
         self._terms_path = os.path.join(index_dir, "stats", "terms")
         self._docs_path = os.path.join(index_dir, "docs")
+        self._df_map: dict[str, int] | None = None
+        self._seg: DataFrame | None = None
+        if cache_stats:
+            self._df_map = {
+                r["term"]: int(r["df"])
+                for r in self.spark.read.parquet(self._terms_path)
+                .select("term", "df").collect()
+            }
+        if cache_segments:
+            self._seg = read_segments(spark, index_dir).cache()
+            self._seg.count()
 
     # -- helpers ----------------------------------------------------------
     def _empty(self) -> DataFrame:
         return self.spark.createDataFrame([], RESULT_SCHEMA)
 
+    def _segments(self) -> DataFrame:
+        if self._seg is not None:
+            return self._seg
+        return read_segments(self.spark, self.index_dir)
+
     def _term_idfs(self, terms: list[str]) -> dict[str, float]:
+        n = self.stats["n_docs"]
+        if self._df_map is not None:
+            return {t: idf(n, self._df_map[t]) for t in terms
+                    if t in self._df_map}
         rows = (self.spark.read.parquet(self._terms_path)
                 .filter(F.col("term").isin(terms)).collect())
-        n = self.stats["n_docs"]
         return {r["term"]: idf(n, int(r["df"])) for r in rows}
 
     def _allowed_ids(self, filters: dict[str, str] | None) -> np.ndarray | None:
@@ -83,6 +108,34 @@ class Searcher:
         return np.sort(np.array([r["doc_id"] for r in ids], dtype=np.int64))
 
     # -- public API -------------------------------------------------------
+    def search_local(self, query: str, k: int = 10,
+                     filters: dict[str, str] | None = None,
+                     round_dp: int = 9) -> list[tuple[int, float]]:
+        """Coordinator-mode search returning a driver-side list — the
+        serving-path latency (one Spark job: fetch matched segment rows).
+        Same results as ``search(mode='coordinator')`` without the
+        result-DataFrame materialization round-trip."""
+        terms = list(dict.fromkeys(tokenize_py(query, self.mode)))
+        if not terms:
+            return []
+        idfs = self._term_idfs(terms)
+        if not idfs:
+            return []
+        avgdl = float(self.stats["avgdl"])
+        allowed = self._allowed_ids(filters)
+        seg = self._segments().filter(F.col("term").isin(list(idfs)))
+        rows = [r.asDict() for r in seg.collect()]
+        by_shard: dict[int, list[dict]] = {}
+        for r in rows:
+            by_shard.setdefault(int(r["shard"]), []).append(r)
+        merged: list[tuple[int, float]] = []
+        for shard_rows in by_shard.values():
+            its = [PostingIterator(r, idfs[r["term"]], avgdl)
+                   for r in shard_rows]
+            merged.extend(wand_top_k(its, k, round_dp, allowed))
+        merged.sort(key=lambda x: (-round(x[1], round_dp), x[0]))
+        return merged[:k]
+
     def search(self, query: str, k: int = 10,
                filters: dict[str, str] | None = None,
                mode: str = "auto", round_dp: int = 9,
@@ -97,8 +150,7 @@ class Searcher:
         avgdl = float(self.stats["avgdl"])
         allowed = self._allowed_ids(filters)
 
-        seg = (read_segments(self.spark, self.index_dir)
-               .filter(F.col("term").isin(list(idfs))))
+        seg = self._segments().filter(F.col("term").isin(list(idfs)))
 
         if mode == "auto":
             n_postings = int(
@@ -107,17 +159,7 @@ class Searcher:
                     else "distributed")
 
         if mode == "coordinator":
-            rows = [r.asDict() for r in seg.collect()]
-            merged: list[tuple[int, float]] = []
-            by_shard: dict[int, list[dict]] = {}
-            for r in rows:
-                by_shard.setdefault(int(r["shard"]), []).append(r)
-            for shard_rows in by_shard.values():
-                its = [PostingIterator(r, idfs[r["term"]], avgdl)
-                       for r in shard_rows]
-                merged.extend(wand_top_k(its, k, round_dp, allowed))
-            merged.sort(key=lambda x: (-round(x[1], round_dp), x[0]))
-            top = merged[:k]
+            top = self.search_local(query, k, filters, round_dp)
             out = self.spark.createDataFrame(
                 [(int(d), float(s)) for d, s in top], RESULT_SCHEMA)
         elif mode == "distributed":
