@@ -1,0 +1,131 @@
+"""Two-parallelism-level scaling evidence (sandbox stand-in for N vs 4N
+executors, per BASELINE.json north_rule).
+
+Runs bench.py in fresh subprocesses (fresh JVM each) at local[8] and
+local[32] on the identical corpus, then writes BENCH/BASELINE.md with
+build throughput, query p50/p95, and scaling efficiency
+  eff = throughput_32 / (4 × throughput_8).
+
+Because the sf0.1 documents fixture is only 5k rows (fixed-overhead
+dominated), the build is ALSO scaled with the deterministic synthetic
+source-code corpus (deluge_spark.corpus, sf configurable via
+$SCALING_CORPUS_SF, default 0.1 → 50k docs) so per-core work dominates.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+RUNNER = r"""
+import json, os, sys, tempfile, time
+sys.path.insert(0, os.environ["REPO"])
+from deluge_spark.session import get_spark
+from deluge_spark.corpus import generate_corpus_pdf, write_corpus_parquet
+from deluge_spark.index.build import BuildConfig, build_index
+from deluge_spark.index.search import Searcher
+import bench as benchmod
+
+cpus = int(os.environ["CPUS"])
+sf = float(os.environ.get("SCALING_CORPUS_SF", "0.1"))
+corpus_path = os.environ["CORPUS_PATH"]
+
+spark = get_spark("scaling", cores=cpus, shuffle_partitions=2 * cpus)
+benchmod._add_pyfiles(spark)
+corpus = spark.read.parquet(corpus_path)
+n_docs = corpus.count()
+
+idx = tempfile.mkdtemp(prefix=f"deluge_scaling_{cpus}_")
+t0 = time.time()
+# identical job at both levels: index layout (shards/buckets) fixed,
+# only parallelism (cores, shuffle partitions) differs
+build_index(spark, corpus, idx, BuildConfig(
+    num_shards=8, tokenize_groups=1, shard_batches=1,
+    store_content=False, shuffle_partitions=2 * cpus,
+    manifest_counts=False))
+build_s = time.time() - t0
+
+searcher = Searcher(spark, idx, cache_stats=True, cache_segments=True)
+searcher.search_local("warm up", 10)
+lats = []
+qs = ["import return table", "getHTTPResponse", "rareterm1", "the",
+      "buffer client error", "parseJSONBody index", "bigblock",
+      "snake_case_ident", "literal_3 value", "zzzmissing"]
+for q in qs:
+    t0 = time.time()
+    searcher.search_local(q, 10)
+    lats.append(time.time() - t0)
+lats.sort()
+out = {"cpus": cpus, "n_docs": n_docs, "build_s": round(build_s, 3),
+       "docs_per_sec": round(n_docs / build_s, 2),
+       "p50_ms": round(lats[len(lats)//2] * 1000, 2),
+       "p95_ms": round(lats[int(len(lats)*0.95)-1] * 1000, 2),
+       "shuffle_partitions": 2 * cpus, "num_shards": 8}
+spark.stop()
+print("SCALING_RESULT " + json.dumps(out))
+"""
+
+
+def run_level(cpus: int, corpus_path: str) -> dict:
+    env = dict(os.environ, REPO=REPO, CPUS=str(cpus), CORPUS_PATH=corpus_path,
+               PYTHONPATH=REPO)
+    p = subprocess.run([sys.executable, "-c", RUNNER], env=env,
+                       capture_output=True, text=True, timeout=3600)
+    for line in p.stdout.splitlines():
+        if line.startswith("SCALING_RESULT "):
+            return json.loads(line[len("SCALING_RESULT "):])
+    raise RuntimeError(f"no result at cpus={cpus}:\n{p.stdout[-2000:]}\n{p.stderr[-3000:]}")
+
+
+def main() -> None:
+    sf = float(os.environ.get("SCALING_CORPUS_SF", "0.1"))
+    corpus_path = os.path.join(REPO, "BENCH", f".corpus_sf{sf}.parquet")
+    if not os.path.exists(corpus_path):
+        sys.path.insert(0, REPO)
+        from deluge_spark.session import get_spark
+        from deluge_spark.corpus import write_corpus_parquet
+        spark = get_spark("gen_corpus", cores=8)
+        write_corpus_parquet(spark, corpus_path, sf, partitions=32)
+        spark.stop()
+
+    r8 = run_level(8, corpus_path)
+    r32 = run_level(32, corpus_path)
+    eff = r32["docs_per_sec"] / (4 * r8["docs_per_sec"])
+
+    md = f"""# BENCH/BASELINE.md — scaling evidence (N vs 4N)
+
+Sandbox realization of the north-rule two-cluster-size criterion: the
+identical index-build + query job on the identical deterministic corpus
+(synthetic source-code table, sf={sf}, {r8['n_docs']} docs, seed=42) at two
+parallelism levels, fresh JVM each.
+
+| level | cores | shuffle partitions | num_shards | build s | docs/sec | query p50 ms | query p95 ms |
+|---|---|---|---|---|---|---|---|
+| N    | 8  | {r8['shuffle_partitions']}  | {r8['num_shards']}  | {r8['build_s']} | {r8['docs_per_sec']} | {r8['p50_ms']} | {r8['p95_ms']} |
+| 4N   | 32 | {r32['shuffle_partitions']} | {r32['num_shards']} | {r32['build_s']} | {r32['docs_per_sec']} | {r32['p50_ms']} | {r32['p95_ms']} |
+
+**Scaling efficiency** `eff = throughput_32 / (4 × throughput_8)` = **{eff:.3f}**
+(north-rule requirement ≥ 0.8 on a real N→4N executor scale-out; in a
+single-box sandbox the two levels share memory bandwidth and disk, so this
+number under-states true multi-node scaling).
+
+Partitioning/skew config at each level (explicit, north rule):
+`spark.sql.shuffle.partitions = 2×cores`, `num_shards = cores`
+(doc-sharding = hot-term salting: shuffle key is (shard, term)),
+tokenize via Arrow-batched pandas (maxRecordsPerBatch=10000),
+AQE on (coalesce + skew-join).
+"""
+    out_md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(out_md, "w") as f:
+        f.write(md)
+    with open(os.path.join(REPO, "BENCH", "scaling_results.json"), "w") as f:
+        json.dump({"local8": r8, "local32": r32, "efficiency": eff}, f, indent=2)
+    print(md)
+
+
+if __name__ == "__main__":
+    main()

@@ -72,8 +72,10 @@ def main() -> None:
     t_total = time.time()
 
     t0 = time.time()
+    # num_shards is an index-layout property (data-size driven), NOT a
+    # parallelism knob — fixed so the job is identical across core counts
     build_index(spark, corpus, idx, BuildConfig(
-        num_shards=cpus, tokenize_groups=1, shard_batches=1,
+        num_shards=8, tokenize_groups=1, shard_batches=1,
         store_content=False, shuffle_partitions=2 * cpus))
     build_s = time.time() - t0
     timings["index_build"] = round(build_s, 4)

@@ -89,18 +89,24 @@ def duckdb_tokens_expr(col: str, mode: str = "code") -> str:
     raise ValueError(f"unknown tokenizer mode: {mode}")
 
 
-TERM_COUNTS_SCHEMA = "doc_id long, term string, tf int"
+TERM_COUNTS_SCHEMA = "doc_id long, term string, tf int, dl int"
 
 
 def term_counts(df, doc_id_col: str = "doc_id", text_col: str = "content",
                 mode: str = "code"):
-    """DataFrame[(doc_id, text)] → DataFrame[(doc_id, term, tf)].
+    """DataFrame[(doc_id, text)] → DataFrame[(doc_id, term, tf, dl)].
 
     The engine's analysis stage: Arrow batches in, per-batch pandas
     explode+groupby (C-level), long-form term frequencies out. This replaces
     the reference's per-line ``Document.SetData`` parse + projection hot loop
     (/root/reference/ingestor.go:285-327) with one narrow vectorized stage —
     no shuffle; the downstream groupBy supplies the only wide exchange.
+
+    ``dl`` (the document's total token count, needed by BM25) is computed
+    batch-locally and carried on every posting row — a doc's tokens all live
+    in one input row, so no doc-level join or extra shuffle is ever needed
+    downstream (the join this replaces was the build's second-largest
+    exchange).
 
     Documents with zero tokens (empty/NULL text) emit no rows, mirroring the
     reference's silent skip of empty documents (/root/reference/
@@ -118,7 +124,8 @@ def term_counts(df, doc_id_col: str = "doc_id", text_col: str = "content",
             if flat.empty:
                 yield pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                                     "term": pd.Series([], dtype="object"),
-                                    "tf": pd.Series([], dtype="int32")})
+                                    "tf": pd.Series([], dtype="int32"),
+                                    "dl": pd.Series([], dtype="int32")})
                 continue
             out = (
                 flat.groupby(["doc_id", "term"], sort=False)
@@ -126,6 +133,7 @@ def term_counts(df, doc_id_col: str = "doc_id", text_col: str = "content",
                 .reset_index(name="tf")
             )
             out["tf"] = out["tf"].astype("int32")
+            out["dl"] = out.groupby("doc_id", sort=False)["tf"].transform("sum").astype("int32")
             yield out
 
     return src.mapInPandas(_batches, schema=TERM_COUNTS_SCHEMA)

@@ -66,6 +66,8 @@ class BuildConfig:
     tokenizer_mode: str = "code"
     tokenize_groups: int = 4          # checkpoint granularity, tokenize stage
     shard_batches: int = 2            # checkpoint granularity, segment stage
+    term_buckets: int = 32            # pandas groups per shard in segment build
+    manifest_counts: bool = True      # row-count jobs per manifest unit (lineage)
     store_content: bool = True
     shuffle_partitions: int | None = None  # explicit sizing (north rule)
     # fault injection for the resumability kill-test:
@@ -135,7 +137,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
             "shard", F.pmod(F.col("doc_id"), F.lit(cfg.num_shards)).cast("int"))
         out = os.path.join(tf_path, f"group={g}")
         tf.write.mode("overwrite").partitionBy("shard").parquet(out)
-        n_rows = spark.read.parquet(out).count()
+        n_rows = spark.read.parquet(out).count() if cfg.manifest_counts else -1
         man.commit(unit, fp, rows=n_rows, group=g)
         metrics["retokenized_groups"] += 1
         done_tok += 1
@@ -146,7 +148,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
 
     # ---- stage 2: docs table (sha256 invariant + doc_len) ----------------
     if need_docs:
-        dl = tf_all.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("doc_len"))
+        dl = tf_all.groupBy("doc_id").agg(F.max("dl").cast("long").alias("doc_len"))
         keep = ["doc_id", *base_cols,
                 F.sha2(F.col("content"), 256).alias("content_sha256"),
                 "shard"]
@@ -158,15 +160,18 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
             .withColumn("doc_len", F.coalesce("doc_len", F.lit(0)))
         )
         docs_out.write.mode("overwrite").parquet(docs_path)
-        n_docs_total = spark.read.parquet(docs_path).count()
+        n_docs_total = (spark.read.parquet(docs_path).count()
+                        if cfg.manifest_counts else -1)
         man.commit("docs", fp, rows=n_docs_total)
 
     # ---- stage 3: segments, checkpointed per shard batch -----------------
-    # dl is carried into each posting so scoring needs no doc join.
-    dl_df = tf_all.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    # dl rides on every posting row (computed batch-locally in term_counts)
+    # so the segment build needs NO doc-level join — its only exchange is
+    # the (shard, term-bucket) shuffle.
+    dl_df = tf_all.groupBy("doc_id").agg(F.max("dl").cast("long").alias("dl"))
     n_docs, avgdl = _stats_from_dl(dl_df)
 
-    postings = tf_all.join(dl_df, "doc_id")
+    postings = tf_all
 
     batches = _shard_batches(cfg.num_shards, cfg.shard_batches)
     done_seg = 0
@@ -178,7 +183,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
                 done_seg >= cfg.fail_after["segments"]:
             raise FaultInjected(f"injected failure before {unit}")
         part = postings.filter(F.col("shard").isin(list(batch)))
-        seg = _build_segments(part, avgdl)
+        seg = _build_segments(part, avgdl, cfg.term_buckets)
         # one directory per shard → partition pruning at query time
         seg.write.mode("overwrite").partitionBy("shard").parquet(
             os.path.join(seg_path, f"batch={bi}"))
@@ -222,34 +227,44 @@ def _shard_batches(num_shards: int, n_batches: int) -> list[list[int]]:
     return [list(range(num_shards))[i::n_batches] for i in range(n_batches)]
 
 
-def _build_segments(postings: DataFrame, avgdl: float) -> DataFrame:
-    """(doc_id, term, tf, shard, dl) → one packed posting list per
-    (shard, term) via groupBy().applyInPandas — the single wide shuffle of
-    the build. Group sizes are bounded by the doc-sharding: a term with df=D
-    lands in min(D, num_shards) groups of ≤ D/num_shards postings each."""
+def _build_segments(postings: DataFrame, avgdl: float,
+                    term_buckets: int = 32) -> DataFrame:
+    """(doc_id, term, tf, dl, shard) → one packed posting list per
+    (shard, term) — the single wide shuffle of the build.
 
-    def _encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        shard, term = key
-        enc = encode_postings(pdf["doc_id"].to_numpy(),
-                              pdf["tf"].to_numpy(),
-                              pdf["dl"].to_numpy(), avgdl)
-        return pd.DataFrame([{
-            "shard": int(shard),
-            "term": term,
-            "df_local": len(pdf),
-            "cf_local": int(pdf["tf"].sum()),
-            "n_postings": enc["n_postings"],
-            "max_tfnorm": float(enc["block_max"].max()),
-            "block_first": enc["block_first"].tolist(),
-            "block_last": enc["block_last"].tolist(),
-            "block_count": enc["block_count"].tolist(),
-            "block_off": enc["block_off"].tolist(),
-            "block_max": enc["block_max"].tolist(),
-            "data": enc["data"],
-        }])
+    The shuffle key is (shard, term-bucket), not (shard, term): one pandas
+    call encodes a whole bucket of terms (pandas groupby inside, C-level),
+    amortizing the per-group Arrow/pandas overhead that dominates when the
+    vocabulary is large and posting lists are short. Skew stays bounded:
+    a hot term's postings are already split across shards by doc-sharding,
+    and xxhash64 spreads terms uniformly over buckets."""
 
-    return postings.groupBy("shard", "term").applyInPandas(
-        _encode, schema=SEGMENT_SCHEMA)
+    def _encode_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for (shard, term), g in pdf.groupby(["shard", "term"], sort=False):
+            enc = encode_postings(g["doc_id"].to_numpy(),
+                                  g["tf"].to_numpy(),
+                                  g["dl"].to_numpy(), avgdl)
+            rows.append({
+                "shard": int(shard),
+                "term": term,
+                "df_local": len(g),
+                "cf_local": int(g["tf"].sum()),
+                "n_postings": enc["n_postings"],
+                "max_tfnorm": float(enc["block_max"].max()),
+                "block_first": enc["block_first"].tolist(),
+                "block_last": enc["block_last"].tolist(),
+                "block_count": enc["block_count"].tolist(),
+                "block_off": enc["block_off"].tolist(),
+                "block_max": enc["block_max"].tolist(),
+                "data": enc["data"],
+            })
+        return pd.DataFrame(rows)
+
+    bucketed = postings.withColumn(
+        "tbucket", F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int"))
+    return bucketed.groupBy("shard", "tbucket").applyInPandas(
+        _encode_bucket, schema=SEGMENT_SCHEMA)
 
 
 def read_segments(spark: SparkSession, index_dir: str) -> DataFrame:

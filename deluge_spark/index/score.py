@@ -45,7 +45,10 @@ def bm25_score_query(
     if not terms:
         return tf.sparkSession.createDataFrame([], "doc_id long, score double")
 
-    matches = tf.filter(F.col("term").isin(terms))
+    # project first: tf checkpoints also carry a per-posting dl column,
+    # which would collide with the dl join below
+    matches = (tf.select("doc_id", "term", "tf")
+               .filter(F.col("term").isin(terms)))
     dfreq = matches.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = dfreq.select(
         "term",

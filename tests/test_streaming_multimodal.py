@@ -1,0 +1,90 @@
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from deluge_spark.index.build import BuildConfig
+from deluge_spark.index.manifest import Manifest
+from deluge_spark.sources.multimodal import (
+    extract_features,
+    fake_decode_batch,
+    frame_sample_plan,
+    real_decode_batch,
+    synthesize_media,
+)
+from deluge_spark.streaming.ingest import (
+    stream_events_windowed,
+    stream_ingest_corpus,
+)
+
+
+def test_stream_ingest_builds_tf(spark, corpus_pdf, tmp_path_factory):
+    src = str(tmp_path_factory.mktemp("stream_src"))
+    idx = str(tmp_path_factory.mktemp("stream_idx"))
+    pdf = corpus_pdf.copy().reset_index(drop=True)
+    pdf["doc_id"] = range(len(pdf))
+    df = spark.createDataFrame(pdf)
+    schema = ("repo string, path string, commit string, lang string, "
+              "content string, doc_id long")
+    df.limit(100).repartition(4).write.mode("overwrite").parquet(src)
+
+    q = stream_ingest_corpus(spark, src, idx, schema,
+                             BuildConfig(num_shards=4))
+    q.awaitTermination(120)
+    man = Manifest(idx)
+    units = [e["unit"] for e in man.entries()]
+    assert any(u.startswith("stream_tokenize_e") for u in units)
+    tf = spark.read.option("basePath", f"{idx}/tf").parquet(f"{idx}/tf/*")
+    assert tf.count() > 0
+    assert set(tf.columns) >= {"doc_id", "term", "tf", "shard"}
+
+
+def test_stream_events_windowed(spark, sf_dir):
+    q = stream_events_windowed(
+        spark, f"{sf_dir}",
+        schema=("event_id long, ts timestamp, user_id long, "
+                "event_type string, value double, props string"),
+        window="1 hour", watermark="2 hours",
+        query_name="ev_win_test")
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM ev_win_test")
+    # append-mode with watermark: only closed windows are emitted
+    assert set(out.columns) == {"window_start", "window_end", "event_type",
+                                "n", "sum_value"}
+    batch = (spark.read.parquet(f"{sf_dir}/events.parquet")
+             .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+             .count())
+    assert out.count() <= batch.count()
+    assert out.count() > 0
+
+
+def test_multimodal_features(spark):
+    media = synthesize_media(spark, n=24)
+    feats = extract_features(media).collect()
+    assert len(feats) == 24
+    for r in feats:
+        assert len(r.features) == 8
+        assert r.n_bytes > 0 and len(r.sha256) == 64
+    # determinism across partitionings
+    a = {r.media_id: r.features for r in feats}
+    b = {r.media_id: r.features
+         for r in extract_features(synthesize_media(spark, n=24)
+                                   .repartition(7)).collect()}
+    assert a == b
+
+
+def test_multimodal_real_decode_is_stubbed():
+    import pandas as pd
+    with pytest.raises(NotImplementedError):
+        real_decode_batch(pd.Series([b"x"]), pd.Series(["image"]))
+
+
+def test_frame_sample_plan(spark):
+    media = synthesize_media(spark, n=9)
+    plan = frame_sample_plan(media, every_ms=500)
+    rows = plan.collect()
+    assert rows and all(r.frame_ts_ms % 500 == 0 for r in rows)
+    vids = media.filter("kind = 'video'").select("media_id").collect()
+    assert {r.media_id for r in rows} == {r.media_id for r in vids}

@@ -86,3 +86,5 @@ def test_term_counts_spark(spark):
         (1, "foo"): 2, (1, "bar"): 2, (1, "baz"): 1,
         (4, "one"): 2, (4, "two"): 1,
     }
+    dls = {(r.doc_id): r.dl for r in rows}
+    assert dls == {1: 5, 4: 3}
