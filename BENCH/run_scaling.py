@@ -83,13 +83,16 @@ def run_level(cpus: int, corpus_path: str) -> dict:
 
 def main() -> None:
     sf = float(os.environ.get("SCALING_CORPUS_SF", "0.1"))
-    corpus_path = os.path.join(REPO, "BENCH", f".corpus_sf{sf}.parquet")
+    body_scale = int(os.environ.get("SCALING_BODY_SCALE", "4"))
+    corpus_path = os.path.join(
+        REPO, "BENCH", f".corpus_sf{sf}_b{body_scale}.parquet")
     if not os.path.exists(corpus_path):
         sys.path.insert(0, REPO)
         from deluge_spark.session import get_spark
         from deluge_spark.corpus import write_corpus_parquet
         spark = get_spark("gen_corpus", cores=8)
-        write_corpus_parquet(spark, corpus_path, sf, partitions=32)
+        write_corpus_parquet(spark, corpus_path, sf, partitions=64,
+                             body_scale=body_scale)
         spark.stop()
 
     r8 = run_level(8, corpus_path)

@@ -48,8 +48,12 @@ def corpus_sizes(sf: float) -> int:
     return max(10, int(round(500_000 * sf)))
 
 
-def generate_corpus_pdf(sf: float, seed: int = SEED) -> pd.DataFrame:
-    """Build the corpus as a pandas DataFrame (vectorized numpy, seeded)."""
+def generate_corpus_pdf(sf: float, seed: int = SEED,
+                        body_scale: int = 1) -> pd.DataFrame:
+    """Build the corpus as a pandas DataFrame (vectorized numpy, seeded).
+
+    ``body_scale`` multiplies document body length (bench knob: heavier docs
+    raise the compute-to-I/O ratio toward real source-file density)."""
     n = corpus_sizes(sf)
     rng = np.random.default_rng(seed)
 
@@ -73,7 +77,7 @@ def generate_corpus_pdf(sf: float, seed: int = SEED) -> pd.DataFrame:
     ])
 
     # content: seeded bag of hot/common words + identifiers + literals
-    body_len = rng.integers(20, 120, n)
+    body_len = rng.integers(20, 120, n) * body_scale
     vocab = np.array(COMMON + [f"ident{i}" for i in range(2000)])
     # Zipf-ish weights over the vocab
     w = 1.0 / np.arange(1, len(vocab) + 1) ** 0.9
@@ -82,17 +86,22 @@ def generate_corpus_pdf(sf: float, seed: int = SEED) -> pd.DataFrame:
     contents = []
     hot_mask = rng.random(n) < 0.6  # hot terms in ~60% of docs
     camel_pick = rng.integers(0, len(CAMEL_IDENTS), n)
+    # one vectorized draw for all bodies (per-doc rng.choice with weights is
+    # ~ms/call — prohibitive at bench scales)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(body_len, out=offsets[1:])
+    flat = rng.choice(vocab, size=int(offsets[-1]), p=w)
+    hot_prefix = " ".join(HOT) + " "
     for i in range(n):
-        words = list(rng.choice(vocab, size=body_len[i], p=w))
+        words = " ".join(flat[offsets[i]:offsets[i + 1]])
         if hot_mask[i]:
-            words = HOT + words
-        words.append(CAMEL_IDENTS[camel_pick[i]])
+            words = hot_prefix + words
         lang = langs[i]
         doc = (
             f"// {lang} module {i}\n"
             + ("import os\n" if hot_mask[i] else "")
             + f"def {CAMEL_IDENTS[camel_pick[i]]}(x):\n    "
-            + " ".join(words)
+            + words + " " + CAMEL_IDENTS[camel_pick[i]]
             + f'\n    s = "literal_{i % 97}"\n    return x\n'
         )
         contents.append(doc)
@@ -126,11 +135,11 @@ def generate_corpus_pdf(sf: float, seed: int = SEED) -> pd.DataFrame:
 
 
 def write_corpus_parquet(spark, out_dir: str, sf: float, seed: int = SEED,
-                         partitions: int = 8) -> None:
+                         partitions: int = 8, body_scale: int = 1) -> None:
     """Write the corpus as a repo-partitioned parquet table (Iceberg stand-in:
     the sandbox image has no Iceberg jars; layout + manifest semantics are
     preserved — see index.build)."""
-    pdf = generate_corpus_pdf(sf, seed)
+    pdf = generate_corpus_pdf(sf, seed, body_scale)
     df = spark.createDataFrame(pdf)
     (df.repartition(partitions, "repo")
        .write.mode("overwrite").parquet(out_dir))

@@ -117,9 +117,9 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
         "grp", F.pmod(F.col("doc_id"), F.lit(cfg.tokenize_groups)).cast("int")
     )
 
+    # assign_doc_ids caches its range-partitioned input; downstream stages
+    # (tokenize groups, docs table) are cheap projections over that cache
     need_docs = not man.is_done("docs", fp)
-    if need_docs:
-        docs_with_ids.cache()
 
     # ---- stage 1: tokenize, checkpointed per group ----------------------
     done_tok = 0

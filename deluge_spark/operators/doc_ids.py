@@ -1,28 +1,30 @@
-"""Dense, deterministic int64 doc_id assignment — scalable two-pass.
+"""Dense, deterministic int64 doc_id assignment — scalable two-pass, all JVM.
 
 The reference keys documents by a user-extracted string ``_id``
 (/root/reference/document.go:8); posting lists need dense integers. The naive
 ``row_number() OVER (ORDER BY repo, path, commit)`` collapses to a single
 partition at 10^12 rows, so we use the classic two-pass scheme:
 
-  1. range-repartition + sort within partitions on the natural key
-     (one range-exchange; Spark samples split points),
-  2. count rows per physical partition (cheap scan of the sorted data),
+  1. range-repartition on the natural key (one range exchange; Spark samples
+     split points),
+  2. count rows per physical partition (cheap),
   3. prefix-sum the counts on the driver (P integers),
-  4. doc_id = partition_offset + local ordinal (narrow mapInPandas).
+  4. doc_id = partition_offset + (row_number within partition − 1), where
+     the within-partition window is keyed by ``spark_partition_id()`` — no
+     global window, no skew, and crucially NO Python pass: document content
+     never crosses the JVM↔Arrow boundary here (an earlier mapInPandas
+     variant shipped the whole corpus through Python twice and dominated
+     build wall-time).
 
 The result equals the global row_number over the total order
-``(repo, path, commit)`` — stable across runs and cluster layouts — while
-the only wide operation is the range exchange itself.
+``(repo, path, commit)`` — stable across runs and cluster layouts.
 """
 
 from __future__ import annotations
 
-import itertools
-from collections.abc import Iterator
+from itertools import chain
 
-import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 NATURAL_KEY = ("repo", "path", "commit")
@@ -36,8 +38,9 @@ def assign_doc_ids(
     """Add a dense ``doc_id`` = rank in the total order over ``key_cols``.
 
     If the input already has a ``doc_id`` column (e.g. the driver's
-    documents fixture) it is kept untouched.
-    """
+    documents fixture) it is kept untouched. The returned DataFrame is
+    cached (the partition layout must stay pinned to the offsets computed
+    from it)."""
     if "doc_id" in df.columns:
         return df
     spark = df.sparkSession
@@ -45,38 +48,26 @@ def assign_doc_ids(
         num_partitions = spark.sparkContext.defaultParallelism
 
     keys = [F.col(c) for c in key_cols]
-    sorted_df = df.repartitionByRange(num_partitions, *keys).sortWithinPartitions(*keys)
-    sorted_df = sorted_df.withColumn("_pid", F.spark_partition_id())
-    sorted_df.cache()
+    ranged = (df.repartitionByRange(num_partitions, *keys)
+              .withColumn("_pid", F.spark_partition_id()))
+    ranged.cache()
 
     counts = {
         r["_pid"]: r["cnt"]
-        for r in sorted_df.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
     offsets: dict[int, int] = {}
     acc = 0
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    boff = spark.sparkContext.broadcast(offsets)
 
-    out_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in sorted_df.schema.fields
-        if f.name != "_pid"
-    ) + ", doc_id long"
-
-    def _assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        seen = 0
-        base = None
-        for pdf in it:
-            if pdf.empty:
-                continue
-            if base is None:
-                base = boff.value[int(pdf["_pid"].iloc[0])]
-            n = len(pdf)
-            out = pdf.drop(columns=["_pid"])
-            out["doc_id"] = range(base + seen, base + seen + n)
-            seen += n
-            yield out
-
-    return sorted_df.mapInPandas(_assign, schema=out_schema)
+    off_map = F.create_map(*[
+        F.lit(x) for x in chain.from_iterable(offsets.items())
+    ]) if offsets else F.create_map()
+    w = Window.partitionBy("_pid").orderBy(*keys)
+    return (ranged
+            .withColumn("doc_id",
+                        (F.element_at(off_map, F.col("_pid"))
+                         + F.row_number().over(w) - 1).cast("long"))
+            .drop("_pid"))

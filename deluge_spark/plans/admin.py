@@ -1,0 +1,141 @@
+"""Admin operations: source summary, index stats, migration/re-index.
+
+Reference counterparts:
+- ``summarize_source`` ≙ the pre-scan Summary (files+bytes / docs+bytes,
+  /root/reference/input/file/input.go:95-104, elastic/v7/client.go:204-242).
+- ``index_summary`` ≙ GetIndexSummary — NOTE the reference's
+  ``NumDocs()`` actually returns the byte size (elastic/v7/summary.go:15-17,
+  identical in v2/v5); we return both, correctly.
+- ``reindex`` ≙ the ES→ES migration/clone path (scroll source → re-ingest,
+  /root/reference/input.go:18-20, input/elastic/input.go:36-58): rebuilds
+  segments under a new layout (different shard count / block size) from the
+  persisted tf checkpoints — without re-tokenizing, the cheap path the
+  reference cannot take (it re-parses every document through the full
+  pipeline).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deluge_spark.index.build import (
+    BuildConfig,
+    _build_segments,
+    read_global_stats,
+    read_segments,
+)
+from deluge_spark.index.manifest import Manifest
+
+
+def format_bytes(n: int) -> str:
+    """Human-readable byte count (≙ /root/reference/util/format.go:18-28)."""
+    for unit in ("B", "KB", "MB", "GB", "TB", "PB"):
+        if abs(n) < 1024.0:
+            return f"{n:.1f}{unit}" if unit != "B" else f"{n:.0f}B"
+        n /= 1024.0
+    return f"{n:.1f}EB"
+
+
+def summarize_source(df: DataFrame, text_col: str = "content") -> dict:
+    """Pre-scan stats: doc count + byte volume (one aggregate pass)."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.length(text_col)).alias("bytes"),
+    ).collect()[0]
+    docs, nbytes = int(row["docs"] or 0), int(row["bytes"] or 0)
+    return {"docs": docs, "bytes": nbytes,
+            "pretty": f"{docs} docs, {format_bytes(nbytes)}"}
+
+
+def index_summary(spark: SparkSession, index_dir: str) -> dict:
+    """Index stats: corpus stats + per-shard segment rollup + manifest."""
+    stats = read_global_stats(index_dir)
+    seg = read_segments(spark, index_dir)
+    shards = {
+        int(r["shard"]): {"terms": int(r["terms"]),
+                          "postings": int(r["postings"]),
+                          "bytes": int(r["bytes"])}
+        for r in seg.groupBy("shard").agg(
+            F.count(F.lit(1)).alias("terms"),
+            F.sum("n_postings").alias("postings"),
+            F.sum(F.length("data")).alias("bytes")).collect()
+    }
+    man = Manifest(index_dir)
+    return {
+        "n_docs": stats["n_docs"],
+        "avgdl": stats["avgdl"],
+        "total_postings": stats["total_postings"],
+        "num_shards": stats["num_shards"],
+        "vocabulary": sum(s["terms"] for s in shards.values()),
+        "index_bytes": sum(s["bytes"] for s in shards.values()),
+        "shards": shards,
+        "sealed": man.is_sealed(),
+        "units": len(man.entries()),
+    }
+
+
+def reindex(spark: SparkSession, index_dir: str, out_dir: str,
+            config: BuildConfig | None = None) -> dict:
+    """Clone/migrate an index to a new layout from its tf checkpoints —
+    no re-tokenization (the docs table is copied, segments rebuilt)."""
+    cfg = config or BuildConfig()
+    os.makedirs(out_dir, exist_ok=True)
+    t0 = time.time()
+
+    tf_path = os.path.join(index_dir, "tf")
+    groups = [os.path.join(tf_path, d) for d in sorted(os.listdir(tf_path))
+              if d.startswith("group=")]
+    tf = (spark.read.option("basePath", tf_path).parquet(*groups)
+          .drop("shard")
+          .withColumn("shard", F.pmod(F.col("doc_id"),
+                                      F.lit(cfg.num_shards)).cast("int")))
+
+    dl_df = tf.groupBy("doc_id").agg(F.max("dl").cast("long").alias("dl"))
+    row = dl_df.agg(F.count(F.lit(1)).alias("n"),
+                    F.avg("dl").alias("avgdl")).collect()[0]
+    n_docs, avgdl = int(row["n"] or 0), float(row["avgdl"] or 0.0)
+
+    man = Manifest(out_dir)
+    seg = _build_segments(tf, avgdl, cfg.term_buckets)
+    seg.write.mode("overwrite").partitionBy("shard").parquet(
+        os.path.join(out_dir, "segments", "batch=0"))
+    man.commit("segments_b0", shards=list(range(cfg.num_shards)))
+
+    # copy docs + tf checkpoints (lineage preserved), recompute shard col
+    src_docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+    (src_docs.drop("shard")
+     .withColumn("shard", F.pmod(F.col("doc_id"),
+                                 F.lit(cfg.num_shards)).cast("int"))
+     .write.mode("overwrite").parquet(os.path.join(out_dir, "docs")))
+    man.commit("docs")
+    for g in groups:
+        dst = os.path.join(out_dir, "tf", os.path.basename(g))
+        if not os.path.exists(dst):
+            shutil.copytree(g, dst)
+        man.commit(f"tokenize_{os.path.basename(g)}")
+
+    seg_all = read_segments(spark, out_dir)
+    terms = seg_all.groupBy("term").agg(F.sum("df_local").alias("df"),
+                                        F.sum("cf_local").alias("cf"))
+    stats_dir = os.path.join(out_dir, "stats")
+    terms.write.mode("overwrite").parquet(os.path.join(stats_dir, "terms"))
+    total_postings = int(seg_all.agg(F.sum("n_postings")).collect()[0][0] or 0)
+    glob = {"n_docs": n_docs, "avgdl": avgdl,
+            "total_postings": total_postings,
+            "num_shards": cfg.num_shards,
+            "tokenizer_mode": read_global_stats(index_dir).get(
+                "tokenizer_mode", cfg.tokenizer_mode),
+            "migrated_from": index_dir}
+    with open(os.path.join(stats_dir, "global.json"), "w") as f:
+        json.dump(glob, f)
+    man.commit("stats", **{k: v for k, v in glob.items()
+                           if k != "migrated_from"})
+    man.seal(wall_s=time.time() - t0, migrated_from=index_dir)
+    return {"n_docs": n_docs, "num_shards": cfg.num_shards,
+            "wall_s": time.time() - t0}

@@ -1,0 +1,81 @@
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from deluge_spark.index.build import BuildConfig, build_index
+from deluge_spark.index.search import Searcher
+from deluge_spark.plans.admin import (
+    format_bytes,
+    index_summary,
+    reindex,
+    summarize_source,
+)
+
+
+@pytest.fixture(scope="module")
+def small_index(spark, corpus_df, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("admin_idx"))
+    build_index(spark, corpus_df, d, BuildConfig(num_shards=4,
+                                                 tokenize_groups=2,
+                                                 shard_batches=1))
+    return d
+
+
+def test_format_bytes():
+    assert format_bytes(512) == "512B"
+    assert format_bytes(20 * 1024 * 1024) == "20.0MB"
+
+
+def test_summarize_source(spark, corpus_df):
+    s = summarize_source(corpus_df)
+    assert s["docs"] == corpus_df.count()
+    assert s["bytes"] > 0 and "docs" in s["pretty"]
+
+
+def test_index_summary(spark, small_index):
+    s = index_summary(spark, small_index)
+    assert s["sealed"] is True
+    assert s["num_shards"] == 4 and len(s["shards"]) == 4
+    assert s["total_postings"] == sum(v["postings"] for v in s["shards"].values())
+    assert s["vocabulary"] > 0 and s["index_bytes"] > 0
+
+
+def test_reindex_preserves_results(spark, small_index, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("migrated"))
+    m = reindex(spark, small_index, out, BuildConfig(num_shards=7))
+    assert m["num_shards"] == 7
+    a = Searcher(spark, small_index).search_local("import return table", 10)
+    b = Searcher(spark, out).search_local("import return table", 10)
+    assert a == b
+    s = index_summary(spark, out)
+    assert len(s["shards"]) == 7
+    assert s["total_postings"] == index_summary(spark, small_index)["total_postings"]
+
+
+def test_cli_end_to_end(spark, corpus_df, tmp_path_factory):
+    """Drive the CLI surface in a subprocess: build → summary → search."""
+    src = str(tmp_path_factory.mktemp("cli_src"))
+    idx = str(tmp_path_factory.mktemp("cli_idx"))
+    corpus_df.limit(120).write.mode("overwrite").parquet(src)
+
+    def run(*args):
+        p = subprocess.run([sys.executable, "-m", "deluge_spark.cli",
+                            "--cores", "4", *args],
+                           capture_output=True, text=True, timeout=600,
+                           cwd="/root/repo")
+        assert p.returncode == 0, p.stderr[-2000:]
+        return [json.loads(line) for line in p.stdout.splitlines()
+                if line.startswith("{")]
+
+    out = run("build", "--corpus", src, "--out", idx, "--shards", "2",
+              "--groups", "1")
+    assert out[-1]["n_docs"] > 0
+    summ = run("summary", "--index", idx)[-1]
+    assert summ["sealed"] and summ["num_shards"] == 2
+    hits = run("search", "--index", idx, "--query", "import return", "-k", "3")
+    assert 0 < len(hits) <= 3 and all("doc_id" in h for h in hits)
