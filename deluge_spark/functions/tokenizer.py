@@ -27,7 +27,10 @@ from __future__ import annotations
 import re
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 # camelCase boundary: lower/digit followed by upper → split
 _CAMEL_1 = (r"([a-z0-9])([A-Z])", r"\1 \2")
@@ -91,6 +94,37 @@ def duckdb_tokens_expr(col: str, mode: str = "code") -> str:
 
 TERM_COUNTS_SCHEMA = "doc_id long, term string, tf int, dl int"
 
+# digit-run-at-token-start followed by letters splits ("2fast" → 2, fast);
+# digits inside a letter-started token do not ("x2y" stays one token) —
+# mirrors the code-token alternation [a-z][a-z0-9]*|[0-9]+ for a
+# split-on-separator formulation (RE2 has no lookbehind)
+_DIGIT_START_FIX = (r"(^|[^a-z0-9])([0-9]+)([a-z])", r"\1\2 \3")
+_SEPARATORS = "[^a-z0-9]+"
+
+
+def _tokenize_arrow(arr: pa.Array, mode: str = "code") -> pa.ListArray:
+    """Arrow-native tokenization (RE2 kernels, zero Python objects).
+
+    Token-for-token identical to ``tokenize_py`` (property-tested). This is
+    the engine's hot path: the pandas/findall formulation allocates one
+    Python str per raw token (~10^8 objects per million docs), which is
+    memory-bandwidth-bound and caps multi-core scaling; these kernels stay
+    in Arrow C++ end to end."""
+    s = pc.fill_null(arr, "")
+    if mode == "code":
+        s = pc.replace_substring_regex(s, pattern=_CAMEL_1[0],
+                                       replacement=r"\1 \2")
+        s = pc.replace_substring_regex(s, pattern=_CAMEL_2[0],
+                                       replacement=r"\1 \2")
+        s = pc.utf8_lower(s)
+        s = pc.replace_substring_regex(s, pattern=_DIGIT_START_FIX[0],
+                                       replacement=_DIGIT_START_FIX[1])
+    elif mode == "simple":
+        s = pc.utf8_lower(s)
+    else:
+        raise ValueError(f"unknown tokenizer mode: {mode}")
+    return pc.split_pattern_regex(s, _SEPARATORS)
+
 
 def term_counts(df, doc_id_col: str = "doc_id", text_col: str = "content",
                 mode: str = "code"):
@@ -113,27 +147,40 @@ def term_counts(df, doc_id_col: str = "doc_id", text_col: str = "content",
     ingestor.go:301-322).
     """
     src = df.select(doc_id_col, text_col)
+    empty = pa.RecordBatch.from_pydict({
+        "doc_id": pa.array([], pa.int64()),
+        "term": pa.array([], pa.string()),
+        "tf": pa.array([], pa.int32()),
+        "dl": pa.array([], pa.int32()),
+    })
 
-    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            toks = _tokenize_pandas(pdf[text_col], mode)
-            flat = pd.DataFrame(
-                {"doc_id": pdf[doc_id_col], "term": toks}
-            ).explode("term")
-            flat = flat[flat["term"].notna()]
-            if flat.empty:
-                yield pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                                    "term": pd.Series([], dtype="object"),
-                                    "tf": pd.Series([], dtype="int32"),
-                                    "dl": pd.Series([], dtype="int32")})
+    def _batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in it:
+            toks = _tokenize_arrow(
+                batch.column(text_col).combine_chunks()
+                if isinstance(batch.column(text_col), pa.ChunkedArray)
+                else batch.column(text_col), mode)
+            parents = pc.list_parent_indices(toks)
+            flat = pc.list_flatten(toks)
+            mask = pc.not_equal(flat, "")
+            flat = flat.filter(mask)
+            parents = parents.filter(mask)
+            if len(flat) == 0:
+                yield empty
                 continue
-            out = (
-                flat.groupby(["doc_id", "term"], sort=False)
-                .size()
-                .reset_index(name="tf")
-            )
-            out["tf"] = out["tf"].astype("int32")
-            out["dl"] = out.groupby("doc_id", sort=False)["tf"].transform("sum").astype("int32")
-            yield out
+            # per-doc token totals via bincount (dl), then C++ hash group-by
+            pn = parents.to_numpy(zero_copy_only=False)
+            dl_per_row = np.bincount(pn, minlength=batch.num_rows)
+            grouped = (pa.table({"i": parents, "term": flat})
+                       .group_by(["i", "term"], use_threads=False)
+                       .aggregate([([], "count_all")]))
+            gi = grouped.column("i").to_numpy(zero_copy_only=False)
+            doc_ids = batch.column(doc_id_col).to_numpy(zero_copy_only=False)
+            yield pa.RecordBatch.from_pydict({
+                "doc_id": pa.array(doc_ids[gi], pa.int64()),
+                "term": grouped.column("term").combine_chunks(),
+                "tf": grouped.column("count_all").cast(pa.int32()).combine_chunks(),
+                "dl": pa.array(dl_per_row[gi], pa.int32()),
+            })
 
-    return src.mapInPandas(_batches, schema=TERM_COUNTS_SCHEMA)
+    return src.mapInArrow(_batches, schema=TERM_COUNTS_SCHEMA)

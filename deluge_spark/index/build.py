@@ -43,7 +43,7 @@ import time
 from collections.abc import Iterator
 from dataclasses import dataclass, field
 
-import pandas as pd
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -100,6 +100,13 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
     fp = _fingerprint(corpus)
     t0 = time.time()
     metrics = {"retokenized_groups": 0, "rebuilt_shard_batches": 0}
+    stage_t: dict[str, float] = {}
+    _last = [time.time()]
+
+    def _mark(stage: str) -> None:
+        now = time.time()
+        stage_t[stage] = round(stage_t.get(stage, 0.0) + now - _last[0], 3)
+        _last[0] = now
 
     docs_path = os.path.join(index_dir, "docs")
     tf_path = os.path.join(index_dir, "tf")
@@ -122,6 +129,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
     need_docs = not man.is_done("docs", fp)
 
     # ---- stage 1: tokenize, checkpointed per group ----------------------
+    _mark("setup")
     done_tok = 0
     for g in range(cfg.tokenize_groups):
         unit = f"tokenize_g{g}"
@@ -141,6 +149,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
         man.commit(unit, fp, rows=n_rows, group=g)
         metrics["retokenized_groups"] += 1
         done_tok += 1
+        _mark("tokenize")
 
     tf_all = spark.read.option("basePath", tf_path).parquet(
         *[os.path.join(tf_path, f"group={g}") for g in range(cfg.tokenize_groups)]
@@ -163,6 +172,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
         n_docs_total = (spark.read.parquet(docs_path).count()
                         if cfg.manifest_counts else -1)
         man.commit("docs", fp, rows=n_docs_total)
+        _mark("docs_table")
 
     # ---- stage 3: segments, checkpointed per shard batch -----------------
     # dl rides on every posting row (computed batch-locally in term_counts)
@@ -170,6 +180,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
     # the (shard, term-bucket) shuffle.
     dl_df = tf_all.groupBy("doc_id").agg(F.max("dl").cast("long").alias("dl"))
     n_docs, avgdl = _stats_from_dl(dl_df)
+    _mark("corpus_stats")
 
     postings = tf_all
 
@@ -190,6 +201,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
         man.commit(unit, fp, shards=list(batch), avgdl=avgdl)
         metrics["rebuilt_shard_batches"] += 1
         done_seg += 1
+        _mark("segments")
 
     # ---- stage 4: stats ---------------------------------------------------
     if not man.is_done("stats", fp):
@@ -209,9 +221,11 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
         with open(os.path.join(stats_dir, "global.json"), "w") as f:
             json.dump(glob, f)
         man.commit("stats", fp, **glob)
+        _mark("term_stats")
 
     man.seal(wall_s=time.time() - t0)
-    metrics.update(n_docs=n_docs, avgdl=avgdl, wall_s=time.time() - t0)
+    metrics.update(n_docs=n_docs, avgdl=avgdl, wall_s=time.time() - t0,
+                   stages=stage_t)
     return metrics
 
 
@@ -232,38 +246,71 @@ def _build_segments(postings: DataFrame, avgdl: float,
     """(doc_id, term, tf, dl, shard) → one packed posting list per
     (shard, term) — the single wide shuffle of the build.
 
-    The shuffle key is (shard, term-bucket), not (shard, term): one pandas
-    call encodes a whole bucket of terms (pandas groupby inside, C-level),
-    amortizing the per-group Arrow/pandas overhead that dominates when the
-    vocabulary is large and posting lists are short. Skew stays bounded:
+    The shuffle key is (shard, term-bucket), not (shard, term): one Arrow
+    call encodes a whole bucket of terms, amortizing per-group overhead when
+    the vocabulary is large and posting lists are short. Skew stays bounded:
     a hot term's postings are already split across shards by doc-sharding,
-    and xxhash64 spreads terms uniformly over buckets."""
+    and xxhash64 spreads terms uniformly over buckets.
 
-    def _encode_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for (shard, term), g in pdf.groupby(["shard", "term"], sort=False):
-            enc = encode_postings(g["doc_id"].to_numpy(),
-                                  g["tf"].to_numpy(),
-                                  g["dl"].to_numpy(), avgdl)
-            rows.append({
-                "shard": int(shard),
-                "term": term,
-                "df_local": len(g),
-                "cf_local": int(g["tf"].sum()),
-                "n_postings": enc["n_postings"],
-                "max_tfnorm": float(enc["block_max"].max()),
-                "block_first": enc["block_first"].tolist(),
-                "block_last": enc["block_last"].tolist(),
-                "block_count": enc["block_count"].tolist(),
-                "block_off": enc["block_off"].tolist(),
-                "block_max": enc["block_max"].tolist(),
-                "data": enc["data"],
-            })
-        return pd.DataFrame(rows)
+    applyInArrow + dictionary-encode keeps term strings in Arrow C++ —
+    only the (few) unique terms of a bucket ever materialize, and postings
+    flow numpy-to-numpy into the codec (the applyInPandas formulation
+    converted every posting's term to a Python object, which was the
+    segment stage's bandwidth ceiling)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def _encode_bucket(tbl: pa.Table) -> pa.Table:
+        term_idx_arr = pc.dictionary_encode(tbl.column("term").combine_chunks())
+        terms = term_idx_arr.dictionary.to_pylist()
+        idx = term_idx_arr.indices.to_numpy(zero_copy_only=False)
+        doc = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        tf = tbl.column("tf").to_numpy(zero_copy_only=False)
+        dl = tbl.column("dl").to_numpy(zero_copy_only=False)
+        shard = int(tbl.column("shard")[0].as_py())
+
+        order = np.lexsort((doc, idx))
+        idx, doc, tf, dl = idx[order], doc[order], tf[order], dl[order]
+        bounds = np.flatnonzero(np.diff(idx)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(idx)]])
+
+        out = {k: [] for k in ("shard", "term", "df_local", "cf_local",
+                               "n_postings", "max_tfnorm", "block_first",
+                               "block_last", "block_count", "block_off",
+                               "block_max", "data")}
+        for s, e in zip(starts, ends):
+            enc = encode_postings(doc[s:e], tf[s:e], dl[s:e], avgdl)
+            out["shard"].append(shard)
+            out["term"].append(terms[int(idx[s])])
+            out["df_local"].append(e - s)
+            out["cf_local"].append(int(tf[s:e].sum()))
+            out["n_postings"].append(enc["n_postings"])
+            out["max_tfnorm"].append(float(enc["block_max"].max()))
+            out["block_first"].append(enc["block_first"])
+            out["block_last"].append(enc["block_last"])
+            out["block_count"].append(enc["block_count"])
+            out["block_off"].append(enc["block_off"])
+            out["block_max"].append(enc["block_max"])
+            out["data"].append(enc["data"])
+        return pa.table({
+            "shard": pa.array(out["shard"], pa.int32()),
+            "term": pa.array(out["term"], pa.string()),
+            "df_local": pa.array(out["df_local"], pa.int64()),
+            "cf_local": pa.array(out["cf_local"], pa.int64()),
+            "n_postings": pa.array(out["n_postings"], pa.int64()),
+            "max_tfnorm": pa.array(out["max_tfnorm"], pa.float64()),
+            "block_first": pa.array(out["block_first"], pa.list_(pa.int64())),
+            "block_last": pa.array(out["block_last"], pa.list_(pa.int64())),
+            "block_count": pa.array(out["block_count"], pa.list_(pa.int32())),
+            "block_off": pa.array(out["block_off"], pa.list_(pa.int64())),
+            "block_max": pa.array(out["block_max"], pa.list_(pa.float64())),
+            "data": pa.array(out["data"], pa.binary()),
+        })
 
     bucketed = postings.withColumn(
         "tbucket", F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int"))
-    return bucketed.groupBy("shard", "tbucket").applyInPandas(
+    return bucketed.groupBy("shard", "tbucket").applyInArrow(
         _encode_bucket, schema=SEGMENT_SCHEMA)
 
 

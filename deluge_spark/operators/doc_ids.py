@@ -9,12 +9,15 @@ partition at 10^12 rows, so we use the classic two-pass scheme:
      split points),
   2. count rows per physical partition (cheap),
   3. prefix-sum the counts on the driver (P integers),
-  4. doc_id = partition_offset + (row_number within partition − 1), where
-     the within-partition window is keyed by ``spark_partition_id()`` — no
-     global window, no skew, and crucially NO Python pass: document content
-     never crosses the JVM↔Arrow boundary here (an earlier mapInPandas
-     variant shipped the whole corpus through Python twice and dominated
-     build wall-time).
+  4. doc_id = partition_offset + within-partition ordinal, where the
+     ordinal comes from ``monotonically_increasing_id()`` over the
+     range-sorted cached partitions (low 33 bits = consecutive record
+     number within a partition). No window function — a window keyed by
+     partition id would re-shuffle the full corpus (content included) in
+     every downstream pass; this formulation is entirely narrow. And no
+     Python pass: content never crosses the JVM↔Arrow boundary here (an
+     earlier mapInPandas variant shipped the corpus through Python twice
+     and dominated build wall-time).
 
 The result equals the global row_number over the total order
 ``(repo, path, commit)`` — stable across runs and cluster layouts.
@@ -24,7 +27,7 @@ from __future__ import annotations
 
 from itertools import chain
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 NATURAL_KEY = ("repo", "path", "commit")
@@ -49,6 +52,7 @@ def assign_doc_ids(
 
     keys = [F.col(c) for c in key_cols]
     ranged = (df.repartitionByRange(num_partitions, *keys)
+              .sortWithinPartitions(*keys)
               .withColumn("_pid", F.spark_partition_id()))
     ranged.cache()
 
@@ -65,9 +69,12 @@ def assign_doc_ids(
     off_map = F.create_map(*[
         F.lit(x) for x in chain.from_iterable(offsets.items())
     ]) if offsets else F.create_map()
-    w = Window.partitionBy("_pid").orderBy(*keys)
+    # monotonically_increasing_id = (pid << 33) + consecutive ordinal;
+    # recover the ordinal and add the global prefix-sum offset — narrow.
+    ordinal = (F.monotonically_increasing_id()
+               - F.shiftleft(F.col("_pid").cast("long"), 33))
     return (ranged
             .withColumn("doc_id",
-                        (F.element_at(off_map, F.col("_pid"))
-                         + F.row_number().over(w) - 1).cast("long"))
+                        (F.element_at(off_map, F.col("_pid")) + ordinal)
+                        .cast("long"))
             .drop("_pid"))

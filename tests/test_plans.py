@@ -66,7 +66,7 @@ def test_tokenize_stage_is_narrow(spark, corpus_df):
                      "doc_id", "content")
     plan = _plan(tf)
     assert "Exchange" not in plan          # no shuffle anywhere
-    assert "MapInPandas" in plan or "mapInPandas" in plan.lower()
+    assert "arrow" in plan.lower() or "pandas" in plan.lower()
 
 
 def test_docs_scan_column_pruning(spark, index_dir):

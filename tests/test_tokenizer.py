@@ -75,6 +75,35 @@ def test_pandas_matches_py_property(s):
     assert got == tokenize_py(s, "code")
 
 
+@pytest.mark.parametrize("mode", ["simple", "code"])
+def test_arrow_matches_py(mode):
+    import pyarrow as pa
+    from deluge_spark.functions.tokenizer import _tokenize_arrow
+
+    texts = [c[0] for c in CASES] + [
+        "def fooBar(x): return x_y + 1", "2fast 2a3b x2y ab2cd 22ab",
+        "a2fast _2a ß2x 2a2b",
+    ]
+    arr = pa.array(texts, pa.string())
+    got = [
+        [t for t in row if t != ""] if row is not None else []
+        for row in _tokenize_arrow(arr, mode).to_pylist()
+    ]
+    want = [tokenize_py(t, mode) for t in texts]
+    assert got == want
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=200))
+def test_arrow_matches_py_property(s):
+    import pyarrow as pa
+    from deluge_spark.functions.tokenizer import _tokenize_arrow
+
+    row = _tokenize_arrow(pa.array([s], pa.string()), "code").to_pylist()[0]
+    got = [t for t in (row or []) if t != ""]
+    assert got == tokenize_py(s, "code")
+
+
 def test_term_counts_spark(spark):
     df = spark.createDataFrame(
         [(1, "fooBar fooBar baz"), (2, ""), (3, None), (4, "one two one")],
