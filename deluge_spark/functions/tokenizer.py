@@ -156,31 +156,45 @@ def term_counts(df, doc_id_col: str = "doc_id", text_col: str = "content",
 
     def _batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in it:
-            toks = _tokenize_arrow(
-                batch.column(text_col).combine_chunks()
-                if isinstance(batch.column(text_col), pa.ChunkedArray)
-                else batch.column(text_col), mode)
-            parents = pc.list_parent_indices(toks)
-            flat = pc.list_flatten(toks)
-            mask = pc.not_equal(flat, "")
-            flat = flat.filter(mask)
-            parents = parents.filter(mask)
-            if len(flat) == 0:
+            res = batch_term_counts(batch, doc_id_col, text_col, mode)
+            if res is None:
                 yield empty
                 continue
-            # per-doc token totals via bincount (dl), then C++ hash group-by
-            pn = parents.to_numpy(zero_copy_only=False)
-            dl_per_row = np.bincount(pn, minlength=batch.num_rows)
-            grouped = (pa.table({"i": parents, "term": flat})
-                       .group_by(["i", "term"], use_threads=False)
-                       .aggregate([([], "count_all")]))
-            gi = grouped.column("i").to_numpy(zero_copy_only=False)
-            doc_ids = batch.column(doc_id_col).to_numpy(zero_copy_only=False)
+            doc_ids, terms, tf, dl = res
             yield pa.RecordBatch.from_pydict({
-                "doc_id": pa.array(doc_ids[gi], pa.int64()),
-                "term": grouped.column("term").combine_chunks(),
-                "tf": grouped.column("count_all").cast(pa.int32()).combine_chunks(),
-                "dl": pa.array(dl_per_row[gi], pa.int32()),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "term": terms,
+                "tf": pa.array(tf.astype(np.int32), pa.int32()),
+                "dl": pa.array(dl.astype(np.int32), pa.int32()),
             })
 
     return src.mapInArrow(_batches, schema=TERM_COUNTS_SCHEMA)
+
+
+def batch_term_counts(batch: pa.RecordBatch, doc_id_col: str, text_col: str,
+                      mode: str):
+    """One Arrow batch → (doc_ids np.int64, terms pa.StringArray,
+    tf np.int64, dl np.int64) term frequencies, or None if no tokens.
+    Shared by ``term_counts`` and the map-side partial-postings encoder."""
+    col = batch.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    toks = _tokenize_arrow(col, mode)
+    parents = pc.list_parent_indices(toks)
+    flat = pc.list_flatten(toks)
+    mask = pc.not_equal(flat, "")
+    flat = flat.filter(mask)
+    parents = parents.filter(mask)
+    if len(flat) == 0:
+        return None
+    pn = parents.to_numpy(zero_copy_only=False)
+    dl_per_row = np.bincount(pn, minlength=batch.num_rows)
+    grouped = (pa.table({"i": parents, "term": flat})
+               .group_by(["i", "term"], use_threads=False)
+               .aggregate([([], "count_all")]))
+    gi = grouped.column("i").to_numpy(zero_copy_only=False)
+    doc_ids = batch.column(doc_id_col).to_numpy(zero_copy_only=False)
+    return (doc_ids[gi].astype(np.int64),
+            grouped.column("term").combine_chunks(),
+            grouped.column("count_all").to_numpy(zero_copy_only=False).astype(np.int64),
+            dl_per_row[gi].astype(np.int64))

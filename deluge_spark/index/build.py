@@ -48,7 +48,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from deluge_spark.functions.tokenizer import term_counts
-from deluge_spark.index.codec import encode_postings
 from deluge_spark.index.manifest import Manifest
 from deluge_spark.operators.doc_ids import assign_doc_ids
 
@@ -109,27 +108,58 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
         _last[0] = now
 
     docs_path = os.path.join(index_dir, "docs")
-    tf_path = os.path.join(index_dir, "tf")
+    partials_path = os.path.join(index_dir, "partials")
     seg_path = os.path.join(index_dir, "segments")
     stats_dir = os.path.join(index_dir, "stats")
 
-    # ---- stage 0: doc ids + grouping key -------------------------------
-    # Deterministic dense ids (operators/doc_ids.py); group = hash of the
-    # natural key → stable tokenize-checkpoint units independent of layout.
+    # ---- stage 0: doc ids + corpus size --------------------------------
+    # Deterministic dense ids (operators/doc_ids.py). Tokenize-checkpoint
+    # groups are doc-RANGE buckets (not modulo): each group's partial
+    # posting lists then cover disjoint contiguous doc ranges, which is
+    # what lets the merge stage concatenate them without re-encoding.
     docs_with_ids = assign_doc_ids(corpus)
     base_cols = [c for c in ("repo", "path", "commit", "lang") if c in corpus.columns]
+    n_total = docs_with_ids.count()
+    grp_step = max(1, -(-n_total // cfg.tokenize_groups))
     docs_with_ids = docs_with_ids.withColumn(
         "shard", F.pmod(F.col("doc_id"), F.lit(cfg.num_shards)).cast("int")
     ).withColumn(
-        "grp", F.pmod(F.col("doc_id"), F.lit(cfg.tokenize_groups)).cast("int")
+        "grp", (F.col("doc_id") / F.lit(grp_step)).cast("int")
     )
 
-    # assign_doc_ids caches its range-partitioned input; downstream stages
-    # (tokenize groups, docs table) are cheap projections over that cache
-    need_docs = not man.is_done("docs", fp)
+    # ---- stage 1: docs table (sha256 invariant + doc_len), stats --------
+    # doc_len via the JVM tokenizer twin (token-identical to the Arrow
+    # tokenizer, proven by tests) — no Python pass, and it makes avgdl
+    # available BEFORE the encode stage needs it for block-max scores.
+    if not man.is_done("docs", fp):
+        from deluge_spark.operators.dedup import tokens_col
 
-    # ---- stage 1: tokenize, checkpointed per group ----------------------
-    _mark("setup")
+        keep = ["doc_id", *base_cols,
+                F.sha2(F.col("content"), 256).alias("content_sha256"),
+                "shard",
+                F.size(F.filter(tokens_col("content", cfg.tokenizer_mode),
+                                lambda t: t != "")).alias("doc_len")]
+        if cfg.store_content:
+            keep.append("content")
+        docs_out = docs_with_ids.select(*keep).withColumn(
+            "doc_len", F.coalesce(F.col("doc_len"), F.lit(0)).cast("long"))
+        docs_out.write.mode("overwrite").parquet(docs_path)
+        n_docs_total = (spark.read.parquet(docs_path).count()
+                        if cfg.manifest_counts else -1)
+        man.commit("docs", fp, rows=n_docs_total)
+        _mark("docs_table")
+
+    docs_tbl = spark.read.parquet(docs_path)
+    n_docs, avgdl = _stats_from_dl(
+        docs_tbl.filter(F.col("doc_len") > 0)
+        .select(F.col("doc_len").alias("dl")))
+    _mark("corpus_stats")
+
+    # ---- stage 2: tokenize + encode partial postings, per group ---------
+    # ONE Python pass does analysis AND block compression; only compressed
+    # partial posting lists cross the Arrow boundary (~5 bytes/posting
+    # instead of a 30-byte tf row — the JVM<->Python pipe is the scaling
+    # bottleneck in this sandbox, and shuffle volume shrinks the same way).
     done_tok = 0
     for g in range(cfg.tokenize_groups):
         unit = f"tokenize_g{g}"
@@ -139,51 +169,24 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
                 done_tok >= cfg.fail_after["tokenize"]:
             raise FaultInjected(f"injected failure before {unit}")
         part = docs_with_ids.filter(F.col("grp") == g)
-        tf = term_counts(part, "doc_id", "content", cfg.tokenizer_mode)
-        # shard derives from doc_id — no join; shard dirs → pruning later
-        tf = tf.withColumn(
-            "shard", F.pmod(F.col("doc_id"), F.lit(cfg.num_shards)).cast("int"))
-        out = os.path.join(tf_path, f"group={g}")
-        tf.write.mode("overwrite").partitionBy("shard").parquet(out)
+        partials = _tokenize_encode_partials(
+            part, "content", cfg.tokenizer_mode, cfg.num_shards, avgdl)
+        out = os.path.join(partials_path, f"group={g}")
+        partials.write.mode("overwrite").partitionBy("shard").parquet(out)
         n_rows = spark.read.parquet(out).count() if cfg.manifest_counts else -1
         man.commit(unit, fp, rows=n_rows, group=g)
         metrics["retokenized_groups"] += 1
         done_tok += 1
-        _mark("tokenize")
+        _mark("tokenize_encode")
 
-    tf_all = spark.read.option("basePath", tf_path).parquet(
-        *[os.path.join(tf_path, f"group={g}") for g in range(cfg.tokenize_groups)]
-    )
+    partials_all = spark.read.option("basePath", partials_path).parquet(
+        *[os.path.join(partials_path, f"group={g}")
+          for g in range(cfg.tokenize_groups)])
 
-    # ---- stage 2: docs table (sha256 invariant + doc_len) ----------------
-    if need_docs:
-        dl = tf_all.groupBy("doc_id").agg(F.max("dl").cast("long").alias("doc_len"))
-        keep = ["doc_id", *base_cols,
-                F.sha2(F.col("content"), 256).alias("content_sha256"),
-                "shard"]
-        if cfg.store_content:
-            keep.append("content")
-        docs_out = (
-            docs_with_ids.select(*keep)
-            .join(dl, "doc_id", "left")
-            .withColumn("doc_len", F.coalesce("doc_len", F.lit(0)))
-        )
-        docs_out.write.mode("overwrite").parquet(docs_path)
-        n_docs_total = (spark.read.parquet(docs_path).count()
-                        if cfg.manifest_counts else -1)
-        man.commit("docs", fp, rows=n_docs_total)
-        _mark("docs_table")
-
-    # ---- stage 3: segments, checkpointed per shard batch -----------------
-    # dl rides on every posting row (computed batch-locally in term_counts)
-    # so the segment build needs NO doc-level join — its only exchange is
-    # the (shard, term-bucket) shuffle.
-    dl_df = tf_all.groupBy("doc_id").agg(F.max("dl").cast("long").alias("dl"))
-    n_docs, avgdl = _stats_from_dl(dl_df)
-    _mark("corpus_stats")
-
-    postings = tf_all
-
+    # ---- stage 3: merge partials into segments, per shard batch ----------
+    # Pure JVM: one (shard, term) shuffle of the SMALL partial rows, then
+    # higher-order-function concatenation (binary concat + offset rebase).
+    # Self-contained blocks (codec) make this a byte-level append.
     batches = _shard_batches(cfg.num_shards, cfg.shard_batches)
     done_seg = 0
     for bi, batch in enumerate(batches):
@@ -193,15 +196,14 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
         if cfg.fail_after.get("segments") is not None and \
                 done_seg >= cfg.fail_after["segments"]:
             raise FaultInjected(f"injected failure before {unit}")
-        part = postings.filter(F.col("shard").isin(list(batch)))
-        seg = _build_segments(part, avgdl, cfg.term_buckets)
-        # one directory per shard → partition pruning at query time
+        part = partials_all.filter(F.col("shard").isin(list(batch)))
+        seg = _merge_partials(part)
         seg.write.mode("overwrite").partitionBy("shard").parquet(
             os.path.join(seg_path, f"batch={bi}"))
         man.commit(unit, fp, shards=list(batch), avgdl=avgdl)
         metrics["rebuilt_shard_batches"] += 1
         done_seg += 1
-        _mark("segments")
+        _mark("segments_merge")
 
     # ---- stage 4: stats ---------------------------------------------------
     if not man.is_done("stats", fp):
@@ -229,6 +231,196 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
     return metrics
 
 
+PARTIALS_SCHEMA = (
+    "shard int, term string, first_doc long, df_p long, cf_p long, "
+    "max_tfnorm double, block_first array<long>, block_last array<long>, "
+    "block_count array<int>, block_off array<long>, block_max array<double>, "
+    "data binary"
+)
+
+
+def _tokenize_encode_partials(df: DataFrame, text_col: str, mode: str,
+                              num_shards: int, avgdl: float) -> DataFrame:
+    """One Python pass per source partition: tokenize every doc, then build
+    per-(shard, term) PARTIAL posting lists (sorted, blocked, compressed)
+    for the partition's contiguous doc range. The classic map-side combine
+    of MapReduce index building — shuffle and Arrow-boundary volume shrink
+    to the compressed size."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from deluge_spark.functions.tokenizer import batch_term_counts
+    from deluge_spark.index.codec import encode_group
+
+    src = df.select("doc_id", text_col)
+
+    def _partition(it):
+        docs_l, terms_l, tf_l, dl_l = [], [], [], []
+        for batch in it:
+            res = batch_term_counts(batch, "doc_id", text_col, mode)
+            if res is None:
+                continue
+            d, t, tf, dl = res
+            docs_l.append(d); terms_l.append(t); tf_l.append(tf); dl_l.append(dl)
+        if not docs_l:
+            return
+        doc = np.concatenate(docs_l)
+        tf = np.concatenate(tf_l)
+        dl = np.concatenate(dl_l)
+        terms = pa.concat_arrays([t.combine_chunks()
+                                  if isinstance(t, pa.ChunkedArray) else t
+                                  for t in terms_l])
+        denc = pc.dictionary_encode(terms)
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        tidx = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        dictionary = denc.dictionary
+        shard = (doc % num_shards).astype(np.int64)
+        key = tidx * num_shards + shard
+        order = np.lexsort((doc, key))
+        key, doc, tf, dl = key[order], doc[order], tf[order], dl[order]
+
+        # chunk the encode at term boundaries (~100k postings per chunk):
+        # whole-partition temporaries (10^8-element scatters) thrash the
+        # allocator/TLB when N workers run concurrently — chunked, the
+        # same work runs ~25× faster under concurrency, and output memory
+        # is bounded per yielded batch.
+        n = len(key)
+        step = 100_000
+        bounds = [0]
+        pos = step
+        while pos < n:
+            e = int(np.searchsorted(key, key[pos], side="right"))
+            bounds.append(e)
+            pos = e + step
+        bounds.append(n)
+
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e <= s:
+                continue
+            g = encode_group(key[s:e], doc[s:e], tf[s:e], dl[s:e], avgdl)
+            nt = g["n_terms"]
+            k = key[s:e][g["term_pos"]]
+            shard_out = (k % num_shards).astype(np.int32)
+            term_out = pc.take(dictionary,
+                               pa.array(k // num_shards, pa.int64()))
+            first_doc = g["block_first"][g["term_block_offsets"][:-1]]
+            list_offsets = pa.array(g["term_block_offsets"].astype("int32"),
+                                    pa.int32())
+
+            def _list(flat, patype):
+                return pa.ListArray.from_arrays(list_offsets,
+                                                pa.array(flat, patype))
+
+            buf = pa.py_buffer(g["data"].tobytes())
+            bin_offsets = np.empty(nt + 1, dtype=np.int32)
+            bin_offsets[:-1] = g["term_byte_start"]
+            bin_offsets[-1] = g["term_byte_end"][-1] if nt else 0
+            data_arr = pa.Array.from_buffers(
+                pa.binary(), nt,
+                [None, pa.py_buffer(bin_offsets.tobytes()), buf])
+
+            yield pa.RecordBatch.from_pydict({
+                "shard": pa.array(shard_out, pa.int32()),
+                "term": term_out,
+                "first_doc": pa.array(first_doc, pa.int64()),
+                "df_p": pa.array(g["df_local"], pa.int64()),
+                "cf_p": pa.array(g["cf_local"], pa.int64()),
+                "max_tfnorm": pa.array(g["max_tfnorm"], pa.float64()),
+                "block_first": _list(g["block_first"], pa.int64()),
+                "block_last": _list(g["block_last"], pa.int64()),
+                "block_count": _list(g["block_count"], pa.int32()),
+                "block_off": _list(g["block_off"], pa.int64()),
+                "block_max": _list(g["block_max"], pa.float64()),
+                "data": data_arr,
+            })
+
+    return src.mapInArrow(_partition, schema=PARTIALS_SCHEMA)
+
+
+def _merge_partials(partials: DataFrame) -> DataFrame:
+    """Merge partial posting lists into final segments — pure JVM SQL.
+
+    Partials of one (shard, term) cover disjoint contiguous doc ranges
+    (tokenize groups are doc-range buckets), so the merged list is just the
+    partials sorted by first_doc with byte buffers concatenated, skip arrays
+    appended, and block offsets rebased by the running byte length — all
+    expressed with higher-order functions inside one hash aggregate."""
+    grouped = partials.groupBy("shard", "term").agg(
+        F.sort_array(F.collect_list(F.struct(
+            F.col("first_doc").alias("fd"),
+            F.col("df_p").alias("df_p"),
+            F.col("cf_p").alias("cf_p"),
+            F.col("max_tfnorm").alias("mt"),
+            F.col("block_first").alias("bf"),
+            F.col("block_last").alias("bl"),
+            F.col("block_count").alias("bc"),
+            F.col("block_off").alias("bo"),
+            F.col("block_max").alias("bm"),
+            F.col("data").alias("data"),
+        ))).alias("ps"))
+    return grouped.selectExpr(
+        "shard", "term",
+        "aggregate(ps, CAST(0 AS BIGINT), (a, x) -> a + x.df_p) AS df_local",
+        "aggregate(ps, CAST(0 AS BIGINT), (a, x) -> a + x.cf_p) AS cf_local",
+        "aggregate(ps, CAST(0 AS BIGINT), (a, x) -> a + x.df_p) AS n_postings",
+        "aggregate(ps, CAST(0 AS DOUBLE), (a, x) -> greatest(a, x.mt)) "
+        "AS max_tfnorm",
+        "flatten(transform(ps, x -> x.bf)) AS block_first",
+        "flatten(transform(ps, x -> x.bl)) AS block_last",
+        "flatten(transform(ps, x -> x.bc)) AS block_count",
+        "aggregate(ps, struct(CAST(0 AS BIGINT) AS off, "
+        "CAST(array() AS array<bigint>) AS acc), "
+        "(a, x) -> struct(a.off + CAST(length(x.data) AS BIGINT), "
+        "concat(a.acc, transform(x.bo, o -> o + a.off))), "
+        "a -> a.acc) AS block_off",
+        "flatten(transform(ps, x -> x.bm)) AS block_max",
+        "aggregate(ps, CAST(X'' AS BINARY), (a, x) -> concat(a, x.data)) "
+        "AS data",
+    )
+
+
+def tf_from_segments(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Reconstruct the long-form (doc_id, term, tf, dl) table by decoding
+    segments — the input for the DataFrame-scoring cross-check path and for
+    re-index migrations (replaces persisted tf checkpoints, which the
+    partials build no longer writes)."""
+    import pyarrow as pa
+
+    seg = read_segments(spark, index_dir).select(
+        "term", "block_first", "block_count", "block_off", "data")
+
+    def _dec(it):
+        from deluge_spark.index.codec import decode_block
+
+        for batch in it:
+            terms_out, docs_out, tfs_out, dls_out = [], [], [], []
+            tbl = pa.Table.from_batches([batch])
+            for row in range(tbl.num_rows):
+                data = tbl.column("data")[row].as_py()
+                bf = tbl.column("block_first")[row].as_py()
+                bc = tbl.column("block_count")[row].as_py()
+                bo = tbl.column("block_off")[row].as_py()
+                term = tbl.column("term")[row].as_py()
+                for i in range(len(bo)):
+                    d, t, l = decode_block(data, int(bo[i]), int(bc[i]),
+                                           int(bf[i]))
+                    docs_out.append(d); tfs_out.append(t); dls_out.append(l)
+                    terms_out.extend([term] * len(d))
+            if not docs_out:
+                continue
+            yield pa.RecordBatch.from_pydict({
+                "doc_id": pa.array(np.concatenate(docs_out), pa.int64()),
+                "term": pa.array(terms_out, pa.string()),
+                "tf": pa.array(np.concatenate(tfs_out).astype(np.int32),
+                               pa.int32()),
+                "dl": pa.array(np.concatenate(dls_out).astype(np.int32),
+                               pa.int32()),
+            })
+
+    return seg.mapInArrow(_dec, schema="doc_id long, term string, tf int, dl int")
+
+
 def _stats_from_dl(dl_df: DataFrame) -> tuple[int, float]:
     row = dl_df.agg(F.count(F.lit(1)).alias("n"),
                     F.avg("dl").alias("avgdl")).collect()[0]
@@ -252,66 +444,74 @@ def _build_segments(postings: DataFrame, avgdl: float,
     a hot term's postings are already split across shards by doc-sharding,
     and xxhash64 spreads terms uniformly over buckets.
 
-    applyInArrow + dictionary-encode keeps term strings in Arrow C++ —
-    only the (few) unique terms of a bucket ever materialize, and postings
-    flow numpy-to-numpy into the codec (the applyInPandas formulation
-    converted every posting's term to a Python object, which was the
-    segment stage's bandwidth ceiling)."""
+    The posting rows are aggregated into per-term sorted struct arrays
+    JVM-SIDE (collect_list + sort_array inside the hash aggregate), so the
+    Python boundary carries one row per (shard, term) — 100-1000× fewer
+    rows than the raw postings. In this sandbox the JVM→Arrow→Python pipe
+    costs ~5-10 µs/row independent of core count (a shared-resource floor),
+    so shrinking boundary rows, not speeding the UDF, is what makes the
+    stage scale. Inside Python the list buffers map zero-copy into numpy
+    and the whole batch encodes in one vectorized ``encode_group`` call."""
     import pyarrow as pa
-    import pyarrow.compute as pc
 
-    def _encode_bucket(tbl: pa.Table) -> pa.Table:
-        term_idx_arr = pc.dictionary_encode(tbl.column("term").combine_chunks())
-        terms = term_idx_arr.dictionary.to_pylist()
-        idx = term_idx_arr.indices.to_numpy(zero_copy_only=False)
-        doc = tbl.column("doc_id").to_numpy(zero_copy_only=False)
-        tf = tbl.column("tf").to_numpy(zero_copy_only=False)
-        dl = tbl.column("dl").to_numpy(zero_copy_only=False)
-        shard = int(tbl.column("shard")[0].as_py())
+    def _encode_batches(it):
+        from deluge_spark.index.codec import encode_group
 
-        order = np.lexsort((doc, idx))
-        idx, doc, tf, dl = idx[order], doc[order], tf[order], dl[order]
-        bounds = np.flatnonzero(np.diff(idx)) + 1
-        starts = np.concatenate([[0], bounds])
-        ends = np.concatenate([bounds, [len(idx)]])
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            plists = batch.column("plist")
+            if isinstance(plists, pa.ChunkedArray):
+                plists = plists.combine_chunks()
+            offsets = plists.offsets.to_numpy(zero_copy_only=False)
+            structs = plists.values
+            doc = structs.field("doc_id").to_numpy(zero_copy_only=False)
+            tf = structs.field("tf").to_numpy(zero_copy_only=False)
+            dl = structs.field("dl").to_numpy(zero_copy_only=False)
+            lens = np.diff(offsets)
+            idx = np.repeat(np.arange(batch.num_rows, dtype=np.int64), lens)
+            # lists arrive doc-sorted (sort_array) and terms are distinct
+            # rows → (idx, doc) is already the encoder's required order
+            g = encode_group(idx, doc, tf, dl, avgdl)
 
-        out = {k: [] for k in ("shard", "term", "df_local", "cf_local",
-                               "n_postings", "max_tfnorm", "block_first",
-                               "block_last", "block_count", "block_off",
-                               "block_max", "data")}
-        for s, e in zip(starts, ends):
-            enc = encode_postings(doc[s:e], tf[s:e], dl[s:e], avgdl)
-            out["shard"].append(shard)
-            out["term"].append(terms[int(idx[s])])
-            out["df_local"].append(e - s)
-            out["cf_local"].append(int(tf[s:e].sum()))
-            out["n_postings"].append(enc["n_postings"])
-            out["max_tfnorm"].append(float(enc["block_max"].max()))
-            out["block_first"].append(enc["block_first"])
-            out["block_last"].append(enc["block_last"])
-            out["block_count"].append(enc["block_count"])
-            out["block_off"].append(enc["block_off"])
-            out["block_max"].append(enc["block_max"])
-            out["data"].append(enc["data"])
-        return pa.table({
-            "shard": pa.array(out["shard"], pa.int32()),
-            "term": pa.array(out["term"], pa.string()),
-            "df_local": pa.array(out["df_local"], pa.int64()),
-            "cf_local": pa.array(out["cf_local"], pa.int64()),
-            "n_postings": pa.array(out["n_postings"], pa.int64()),
-            "max_tfnorm": pa.array(out["max_tfnorm"], pa.float64()),
-            "block_first": pa.array(out["block_first"], pa.list_(pa.int64())),
-            "block_last": pa.array(out["block_last"], pa.list_(pa.int64())),
-            "block_count": pa.array(out["block_count"], pa.list_(pa.int32())),
-            "block_off": pa.array(out["block_off"], pa.list_(pa.int64())),
-            "block_max": pa.array(out["block_max"], pa.list_(pa.float64())),
-            "data": pa.array(out["data"], pa.binary()),
-        })
+            nt = g["n_terms"]
+            list_offsets = pa.array(
+                g["term_block_offsets"].astype("int32"), pa.int32())
 
-    bucketed = postings.withColumn(
-        "tbucket", F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int"))
-    return bucketed.groupBy("shard", "tbucket").applyInArrow(
-        _encode_bucket, schema=SEGMENT_SCHEMA)
+            def _list(flat, patype):
+                return pa.ListArray.from_arrays(
+                    list_offsets, pa.array(flat, patype))
+
+            buf = pa.py_buffer(g["data"].tobytes())
+            bin_offsets = np.empty(nt + 1, dtype=np.int32)
+            bin_offsets[:-1] = g["term_byte_start"]
+            bin_offsets[-1] = g["term_byte_end"][-1] if nt else 0
+            data_arr = pa.Array.from_buffers(
+                pa.binary(), nt,
+                [None, pa.py_buffer(bin_offsets.tobytes()), buf])
+
+            yield pa.RecordBatch.from_pydict({
+                "shard": batch.column("shard"),
+                "term": batch.column("term"),
+                "df_local": pa.array(g["df_local"], pa.int64()),
+                "cf_local": pa.array(g["cf_local"], pa.int64()),
+                "n_postings": pa.array(g["df_local"], pa.int64()),
+                "max_tfnorm": pa.array(g["max_tfnorm"], pa.float64()),
+                "block_first": _list(g["block_first"], pa.int64()),
+                "block_last": _list(g["block_last"], pa.int64()),
+                "block_count": _list(g["block_count"], pa.int32()),
+                "block_off": _list(g["block_off"], pa.int64()),
+                "block_max": _list(g["block_max"], pa.float64()),
+                "data": data_arr,
+            })
+
+    grouped = (postings
+               .groupBy("shard", "term")
+               .agg(F.sort_array(F.collect_list(F.struct(
+                   F.col("doc_id").alias("doc_id"),
+                   F.col("tf").cast("long").alias("tf"),
+                   F.col("dl").cast("long").alias("dl")))).alias("plist")))
+    return grouped.mapInArrow(_encode_batches, schema=SEGMENT_SCHEMA)
 
 
 def read_segments(spark: SparkSession, index_dir: str) -> DataFrame:

@@ -6,11 +6,14 @@ This is our native format (north-star B2), all numpy-vectorized:
 
 Per (shard, term) posting list, postings sorted by doc_id, fixed-size blocks
 of ``BLOCK`` postings. The packed ``data`` buffer holds, per block:
-varint(doc-gap)* then varint(tf)* then varint(dl)* (gaps are delta-encoded
-doc_ids, first gap relative to the previous block's last doc_id — so a block
-is independently decodable given its skip entry). The skip table (parquet
-array columns, one row per posting list) carries per block:
-first/last doc_id, byte offset, posting count, and the block-max *tfnorm*
+varint(doc-gap)×(count−1) then varint(tf)×count then varint(dl)×count. The
+block's first doc_id is NOT in the byte stream — it lives in the skip table
+(``block_first``), so every block is fully self-contained: partial posting
+lists produced by different source partitions merge by pure byte
+concatenation + skip-array append (the map-side-partials build relies on
+this; no varint fix-up at merge). The skip table (parquet array columns,
+one row per posting list) carries per block: first/last doc_id, byte
+offset, posting count, and the block-max *tfnorm*
 ``max tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))`` — idf-independent, so the
 build needs no df join; query-time block-max impact = idf(term) · tfnorm.
 
@@ -96,11 +99,32 @@ def tfnorm(tf: np.ndarray, dl: np.ndarray, avgdl: float,
     return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / float(avgdl)))
 
 
+def varint_nbytes(values: np.ndarray) -> np.ndarray:
+    """LEB128 byte length per value (vectorized)."""
+    v = np.asarray(values, dtype=np.uint64)
+    nbytes = np.ones(v.size, dtype=np.int64)
+    thresh = np.uint64(1 << 7)
+    rem = v.copy()
+    while True:
+        more = rem >= thresh
+        if not more.any():
+            break
+        nbytes[more] += 1
+        rem = rem >> np.uint64(7)
+    return nbytes
+
+
 def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
                     avgdl: float) -> dict:
     """Sorted postings → packed block format.
 
     Returns dict with ``data`` (bytes) and skip-table arrays; see module doc.
+    One ``varint_encode`` call per posting list (not per block) — the first
+    gap of each block is relative to the previous block's last doc_id, which
+    is simply the previous posting, so the gap stream is one ``np.diff``;
+    per-block byte offsets come from the vectorized value byte-lengths.
+    A per-block formulation spent its time in numpy call overhead (~10^5
+    sub-millisecond calls per build) and throttled the segment stage.
     """
     n = len(doc_ids)
     order = np.argsort(doc_ids, kind="stable")
@@ -109,66 +133,170 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
     l = np.asarray(dls, dtype=np.int64)[order]
 
     n_blocks = (n + BLOCK - 1) // BLOCK
-    block_first = np.empty(n_blocks, dtype=np.int64)
-    block_last = np.empty(n_blocks, dtype=np.int64)
-    block_count = np.empty(n_blocks, dtype=np.int32)
-    block_off = np.empty(n_blocks, dtype=np.int64)
-    block_max = np.empty(n_blocks, dtype=np.float64)
+    starts = np.arange(n_blocks, dtype=np.int64) * BLOCK
+    ends = np.minimum(starts + BLOCK, n)
+    counts = (ends - starts).astype(np.int32)
 
-    chunks: list[np.ndarray] = []
+    gaps = np.diff(d, prepend=np.int64(0)).astype(np.uint64)
+
+    # value stream in block order: [gaps_b[1:], tfs_b, dls_b] per block —
+    # the block's first doc lives in the skip table, not the byte stream
+    values = np.empty(3 * n - n_blocks, dtype=np.uint64)
+    vstart = np.empty(n_blocks, dtype=np.int64)  # value index of block start
     pos = 0
-    prev_last = 0
     for i in range(n_blocks):
-        s, e = i * BLOCK, min((i + 1) * BLOCK, n)
-        bd, bt, bl = d[s:e], t[s:e], l[s:e]
-        gaps = np.empty(e - s, dtype=np.uint64)
-        gaps[0] = np.uint64(bd[0] - prev_last)
-        gaps[1:] = np.diff(bd).astype(np.uint64)
-        payload = varint_encode(
-            np.concatenate([gaps, bt.astype(np.uint64), bl.astype(np.uint64)])
-        )
-        block_first[i] = bd[0]
-        block_last[i] = bd[-1]
-        block_count[i] = e - s
-        block_off[i] = pos
-        block_max[i] = tfnorm(bt, bl, avgdl).max()
-        chunks.append(payload)
-        pos += payload.size
-        prev_last = bd[-1]
+        s, e, c = starts[i], ends[i], int(counts[i])
+        vstart[i] = pos
+        values[pos:pos + c - 1] = gaps[s + 1:e]
+        values[pos + c - 1:pos + 2 * c - 1] = t[s:e].astype(np.uint64)
+        values[pos + 2 * c - 1:pos + 3 * c - 1] = l[s:e].astype(np.uint64)
+        pos += 3 * c - 1
 
-    data = np.concatenate(chunks) if chunks else np.empty(0, dtype=np.uint8)
+    data = varint_encode(values)
+    nb = varint_nbytes(values)
+    byte_prefix = np.zeros(values.size + 1, dtype=np.int64)
+    np.cumsum(nb, out=byte_prefix[1:])
+    block_off = byte_prefix[vstart]
+
+    # per-block max tfnorm, vectorized via reduceat over the full list
+    tn = tfnorm(t, l, avgdl)
+    block_max = np.maximum.reduceat(tn, starts) if n else np.empty(0)
+
     return {
         "data": data.tobytes(),
-        "block_first": block_first,
-        "block_last": block_last,
-        "block_count": block_count,
+        "block_first": d[starts] if n else np.empty(0, dtype=np.int64),
+        "block_last": d[ends - 1] if n else np.empty(0, dtype=np.int64),
+        "block_count": counts,
         "block_off": block_off,
-        "block_max": block_max,
+        "block_max": block_max.astype(np.float64),
         "n_postings": n,
     }
 
 
+def encode_group(term_idx: np.ndarray, doc_ids: np.ndarray,
+                 tfs: np.ndarray, dls: np.ndarray, avgdl: float) -> dict:
+    """Vectorized multi-term encoder: one (shard, term-bucket) group in, all
+    posting lists out — byte-identical per term to ``encode_postings``
+    (property-tested), with zero per-term Python in the hot path.
+
+    Inputs must be sorted by (term_idx, doc_id). Returns flat skip-table
+    arrays plus list offsets, ready for ``pa.ListArray.from_arrays``:
+      n_terms, term_pos (index of each term's first posting),
+      term_block_offsets (n_terms+1), data (one buffer),
+      term_byte_start/end, flat block_first/last/count/off(local)/max,
+      df_local, cf_local.
+
+    Code-scale vocabularies put 10^5-10^6 short posting lists in one bucket
+    (every unique identifier/number is a term); a per-term loop at ~60 µs
+    per list throttled the whole segment stage — this path is O(group) numpy.
+    """
+    n = len(doc_ids)
+    idx = np.asarray(term_idx, dtype=np.int64)
+    d = np.asarray(doc_ids, dtype=np.int64)
+    t = np.asarray(tfs, dtype=np.int64)
+    l = np.asarray(dls, dtype=np.int64)
+
+    term_starts = np.concatenate([[0], np.flatnonzero(np.diff(idx)) + 1])
+    term_ends = np.concatenate([term_starts[1:], [n]])
+    term_lens = term_ends - term_starts
+    n_terms = len(term_starts)
+
+    ordinals = np.arange(n, dtype=np.int64) - np.repeat(term_starts, term_lens)
+    blk_in_term = ordinals // BLOCK
+    ord_in_block = ordinals % BLOCK
+    nbl_per_term = (term_lens + BLOCK - 1) // BLOCK
+    blk_term_off = np.zeros(n_terms, dtype=np.int64)
+    np.cumsum(nbl_per_term[:-1], out=blk_term_off[1:])
+    bid = np.repeat(blk_term_off, term_lens) + blk_in_term
+    total_blocks = int(nbl_per_term.sum())
+    c_b = np.bincount(bid, minlength=total_blocks).astype(np.int64)
+
+    vstart = np.zeros(total_blocks, dtype=np.int64)
+    np.cumsum(3 * c_b[:-1] - 1, out=vstart[1:])
+
+    gaps = np.empty(n, dtype=np.int64)
+    gaps[1:] = d[1:] - d[:-1]
+
+    # block-first docs live in the skip table, not the byte stream:
+    # per block the value layout is [gaps[1:], tfs, dls] (3c−1 values)
+    values = np.empty(3 * n - total_blocks, dtype=np.uint64)
+    base = vstart[bid]
+    cb = c_b[bid]
+    non_first = ord_in_block > 0
+    values[(base + ord_in_block - 1)[non_first]] = \
+        gaps[non_first].astype(np.uint64)
+    values[base + (cb - 1) + ord_in_block] = t.astype(np.uint64)
+    values[base + (2 * cb - 1) + ord_in_block] = l.astype(np.uint64)
+
+    data = varint_encode(values)
+    nb = varint_nbytes(values)
+    byte_prefix = np.zeros(values.size + 1, dtype=np.int64)
+    np.cumsum(nb, out=byte_prefix[1:])
+    block_off_global = byte_prefix[vstart]
+
+    is_first = ord_in_block == 0
+    is_last = ord_in_block == (cb - 1)
+    block_first = d[is_first]
+    block_last = d[is_last]
+    block_start_pos = np.flatnonzero(is_first)
+    tn = tfnorm(t, l, avgdl)
+    block_max = np.maximum.reduceat(tn, block_start_pos) if n else np.empty(0)
+
+    term_byte_start = block_off_global[blk_term_off]
+    term_byte_end = np.concatenate([term_byte_start[1:], [data.size]])
+    block_off_local = block_off_global - np.repeat(
+        term_byte_start, nbl_per_term)
+
+    cf_local = np.add.reduceat(t, term_starts) if n else np.empty(0)
+    max_tfnorm = np.maximum.reduceat(tn, term_starts) if n else np.empty(0)
+
+    term_block_offsets = np.zeros(n_terms + 1, dtype=np.int64)
+    np.cumsum(nbl_per_term, out=term_block_offsets[1:])
+
+    return {
+        "n_terms": n_terms,
+        "term_pos": term_starts,
+        "df_local": term_lens,
+        "cf_local": cf_local,
+        "max_tfnorm": max_tfnorm,
+        "term_block_offsets": term_block_offsets,
+        "block_first": block_first,
+        "block_last": block_last,
+        "block_count": c_b.astype(np.int32),
+        "block_off": block_off_local,
+        "block_max": block_max.astype(np.float64),
+        "data": data,
+        "term_byte_start": term_byte_start,
+        "term_byte_end": term_byte_end,
+    }
+
+
 def decode_block(data: bytes | np.ndarray, off: int, count: int,
-                 prev_last: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Decode one block → (doc_ids, tfs, dls)."""
+                 first_doc: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode one self-contained block → (doc_ids, tfs, dls).
+
+    ``first_doc`` comes from the skip table (block_first)."""
     buf = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray)) else data
-    vals, _ = varint_decode(buf, count=3 * count, offset=off)
-    gaps = vals[:count].astype(np.int64)
-    tfs = vals[count:2 * count].astype(np.int64)
-    dls = vals[2 * count:].astype(np.int64)
-    docs = np.cumsum(gaps) + prev_last
+    vals, _ = varint_decode(buf, count=3 * count - 1, offset=off)
+    gaps = vals[:count - 1].astype(np.int64)
+    tfs = vals[count - 1:2 * count - 1].astype(np.int64)
+    dls = vals[2 * count - 1:].astype(np.int64)
+    docs = np.empty(count, dtype=np.int64)
+    docs[0] = first_doc
+    if count > 1:
+        np.cumsum(gaps, out=docs[1:])
+        docs[1:] += first_doc
     return docs, tfs, dls
 
 
 def decode_postings(enc: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Full decode (tests / TAAT fallback)."""
     docs, tfs, dls = [], [], []
-    prev_last = 0
     buf = np.frombuffer(enc["data"], dtype=np.uint8)
     for i in range(len(enc["block_off"])):
         d, t, l = decode_block(buf, int(enc["block_off"][i]),
-                               int(enc["block_count"][i]), prev_last)
-        prev_last = int(d[-1])
+                               int(enc["block_count"][i]),
+                               int(enc["block_first"][i]))
         docs.append(d); tfs.append(t); dls.append(l)
     if not docs:
         z = np.empty(0, dtype=np.int64)

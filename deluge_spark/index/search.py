@@ -206,15 +206,13 @@ class Searcher:
                          filters: dict[str, str] | None = None,
                          round_dp: int = 9) -> DataFrame:
         """Pure-DataFrame BM25 path over the tf checkpoints (cross-check)."""
+        from deluge_spark.index.build import tf_from_segments
         from deluge_spark.index.score import bm25_score_query
 
         terms = list(dict.fromkeys(tokenize_py(query, self.mode)))
         if not terms:
             return self._empty()
-        tf_path = os.path.join(self.index_dir, "tf")
-        groups = [os.path.join(tf_path, d) for d in sorted(os.listdir(tf_path))
-                  if d.startswith("group=")]
-        tf = self.spark.read.option("basePath", tf_path).parquet(*groups)
+        tf = tf_from_segments(self.spark, self.index_dir)
         dl = (self.spark.read.parquet(self._docs_path)
               .filter(F.col("doc_len") > 0)
               .select("doc_id", F.col("doc_len").alias("dl")))

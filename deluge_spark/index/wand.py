@@ -58,10 +58,9 @@ class PostingIterator:
 
     def _enter_block(self, bi: int) -> None:
         self.bi = bi
-        prev_last = int(self.block_last[bi - 1]) if bi > 0 else 0
         self.docs, self.tfs, self.dls = decode_block(
             self.data, int(self.block_off[bi]), int(self.block_count[bi]),
-            prev_last)
+            int(self.block_first[bi]))
         self.pos = 0
 
     @property

@@ -1,4 +1,5 @@
 from deluge_spark.plans.admin import (  # noqa: F401
+    compact_segments,
     index_summary,
     reindex,
     summarize_source,

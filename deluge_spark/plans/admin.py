@@ -80,19 +80,44 @@ def index_summary(spark: SparkSession, index_dir: str) -> dict:
     }
 
 
+def compact_segments(spark: SparkSession, index_dir: str,
+                     files_per_shard: int = 1) -> dict:
+    """Rewrite segment files to ``files_per_shard`` per shard — the analog
+    of the reference's post-ingest write-amp deferral (replicas 0→N,
+    /root/reference/ingestor.go:226-231) / Iceberg's rewrite_data_files:
+    many small shuffle-output files become few scan-friendly ones. Rewrites
+    into a new batch dir and removes the old ones atomically via manifest."""
+    seg_root = os.path.join(index_dir, "segments")
+    old = [d for d in sorted(os.listdir(seg_root)) if d.startswith("batch=")]
+    seg = read_segments(spark, index_dir).drop("batch")
+    tmp = os.path.join(seg_root, "batch=compact_tmp")
+    (seg.repartition(files_per_shard, "shard")
+        .write.mode("overwrite").partitionBy("shard").parquet(tmp))
+    for d in old:
+        shutil.rmtree(os.path.join(seg_root, d))
+    os.rename(tmp, os.path.join(seg_root, "batch=compacted"))
+    man = Manifest(index_dir)
+    man.commit("compaction", files_per_shard=files_per_shard,
+               replaced=old)
+    n_files = sum(
+        len([f for f in files if f.endswith(".parquet")])
+        for _, _, files in os.walk(os.path.join(seg_root, "batch=compacted")))
+    return {"files": n_files, "replaced_batches": len(old)}
+
+
 def reindex(spark: SparkSession, index_dir: str, out_dir: str,
             config: BuildConfig | None = None) -> dict:
     """Clone/migrate an index to a new layout from its tf checkpoints —
     no re-tokenization (the docs table is copied, segments rebuilt)."""
+    from deluge_spark.index.build import tf_from_segments
+
     cfg = config or BuildConfig()
     os.makedirs(out_dir, exist_ok=True)
     t0 = time.time()
 
-    tf_path = os.path.join(index_dir, "tf")
-    groups = [os.path.join(tf_path, d) for d in sorted(os.listdir(tf_path))
-              if d.startswith("group=")]
-    tf = (spark.read.option("basePath", tf_path).parquet(*groups)
-          .drop("shard")
+    # decode the source index's segments back to long form (no persisted tf
+    # checkpoints in the partials build; no re-tokenization either way)
+    tf = (tf_from_segments(spark, index_dir)
           .withColumn("shard", F.pmod(F.col("doc_id"),
                                       F.lit(cfg.num_shards)).cast("int")))
 
@@ -114,11 +139,6 @@ def reindex(spark: SparkSession, index_dir: str, out_dir: str,
                                  F.lit(cfg.num_shards)).cast("int"))
      .write.mode("overwrite").parquet(os.path.join(out_dir, "docs")))
     man.commit("docs")
-    for g in groups:
-        dst = os.path.join(out_dir, "tf", os.path.basename(g))
-        if not os.path.exists(dst):
-            shutil.copytree(g, dst)
-        man.commit(f"tokenize_{os.path.basename(g)}")
 
     seg_all = read_segments(spark, out_dir)
     terms = seg_all.groupBy("term").agg(F.sum("df_local").alias("df"),

@@ -74,11 +74,55 @@ def test_independent_block_decode():
     tfs = np.ones(n, dtype=np.int64)
     dls = np.full(n, 10, dtype=np.int64)
     enc = encode_postings(docs, tfs, dls, avgdl=10.0)
-    # decode only block 1, seeded by block 0's last doc from the skip table
+    # decode only block 1 — fully self-contained given its skip entry
     d, t, l = decode_block(enc["data"], int(enc["block_off"][1]),
                            int(enc["block_count"][1]),
-                           prev_last=int(enc["block_last"][0]))
+                           first_doc=int(enc["block_first"][1]))
     assert d.tolist() == docs[BLOCK:2 * BLOCK].tolist()
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),       # term index
+            st.integers(min_value=0, max_value=10**9),    # doc id
+            st.integers(min_value=1, max_value=500),      # tf
+            st.integers(min_value=1, max_value=10_000),   # dl
+        ),
+        min_size=1, max_size=800,
+        unique_by=lambda x: (x[0], x[1]),
+    )
+)
+def test_encode_group_matches_per_term(postings):
+    """The vectorized multi-term group encoder must be byte-identical, per
+    term, to encode_postings."""
+    from deluge_spark.index.codec import encode_group
+
+    postings.sort()
+    idx = np.array([p[0] for p in postings], dtype=np.int64)
+    doc = np.array([p[1] for p in postings], dtype=np.int64)
+    tf = np.array([p[2] for p in postings], dtype=np.int64)
+    dl = np.array([p[3] for p in postings], dtype=np.int64)
+    g = encode_group(idx, doc, tf, dl, avgdl=123.0)
+
+    data = g["data"].tobytes()
+    uniq = np.unique(idx)
+    assert g["n_terms"] == len(uniq)
+    for ti in range(g["n_terms"]):
+        s, e = g["term_pos"][ti], (g["term_pos"][ti + 1]
+                                   if ti + 1 < g["n_terms"] else len(idx))
+        ref = encode_postings(doc[s:e], tf[s:e], dl[s:e], avgdl=123.0)
+        bs, be = int(g["term_byte_start"][ti]), int(g["term_byte_end"][ti])
+        assert data[bs:be] == ref["data"]
+        lo, hi = g["term_block_offsets"][ti], g["term_block_offsets"][ti + 1]
+        assert g["block_first"][lo:hi].tolist() == ref["block_first"].tolist()
+        assert g["block_last"][lo:hi].tolist() == ref["block_last"].tolist()
+        assert g["block_count"][lo:hi].tolist() == ref["block_count"].tolist()
+        assert g["block_off"][lo:hi].tolist() == ref["block_off"].tolist()
+        assert g["block_max"][lo:hi].tolist() == ref["block_max"].tolist()
+        assert g["df_local"][ti] == e - s
+        assert g["cf_local"][ti] == tf[s:e].sum()
 
 
 def test_unsorted_input_is_sorted():

