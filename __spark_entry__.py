@@ -210,6 +210,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("lang", "term", "df", F.col("rank").cast("long").alias("rank")))
     q["top_terms_per_lang"] = top_terms_per_lang
 
+    def sessionize(s, d):
+        from deluge_spark.streaming.stateful import sessionize_batch
+        ev = s.read.parquet(f"{d}/events.parquet")
+        out = sessionize_batch(ev, gap_minutes=30)
+        return out.select(
+            "user_id",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("session_start"),
+            F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("session_end"),
+            "n_events", "sum_value")
+    q["sessionize"] = sessionize
+
+    def source_summary(s, d):
+        docs = _docs(s, d)
+        return docs.agg(F.count(F.lit(1)).cast("long").alias("docs"),
+                        F.sum(F.length("text")).cast("long").alias("bytes"))
+    q["source_summary"] = source_summary
+
     # --- dedup family ----------------------------------------------------
     q["dedup_exact_groups"] = lambda s, d: exact_dedup_groups(_docs(s, d))
     q["dedup_ngram_jaccard"] = lambda s, d: ngram_jaccard_pairs(
@@ -295,6 +314,29 @@ r AS (SELECT lang, term, df,
              row_number() OVER (PARTITION BY lang ORDER BY df DESC, term) AS rank
       FROM tf)
 SELECT lang, term, df, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 3
+"""
+    o["sessionize"] = """
+WITH t AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0
+         END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM t
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       ROUND(sum(value), 4) AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+    o["source_summary"] = """
+SELECT CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(length(text)) AS BIGINT) AS bytes FROM documents
 """
     o["dedup_exact_groups"] = """
 SELECT md5(text) AS content_hash, CAST(count(*) AS BIGINT) AS n_docs,

@@ -3,11 +3,25 @@
 The Spark re-expression of the reference's ``Ingestor.Ingest()``
 (/root/reference/ingestor.go:160-244): where deluge walks files with a
 goroutine pool, parses line-by-line, batches 20 MB bulks and POSTs them to
-Elasticsearch behind a backpressure equalizer, our build is three Spark
-stages over a columnar source table — tokenize (narrow, Arrow-vectorized),
-segment assembly (one wide shuffle, hash by (shard, term)), stats (plain
-aggregates). Worker pools / equalizer / bulk batching all collapse into the
-Spark scheduler + Arrow batch sizing (SURVEY.md §2A rows 13–18).
+Elasticsearch behind a backpressure equalizer, our build is a map-side-
+partials pipeline over a columnar source table:
+
+  1. doc-id assignment (JVM, one range exchange of the corpus — the total
+     order (repo, path, commit) defines dense ids),
+  2. docs table: per-row sha256 invariant + doc_len via the JVM tokenizer
+     twin → corpus stats (N, avgdl) known before encoding,
+  3. tokenize + encode: ONE Arrow pass per source partition produces
+     compressed per-(shard, term) PARTIAL posting lists for that
+     partition's contiguous doc range — analysis (RE2 kernels, C++
+     group-by) and block compression (numpy varint codec) in the same
+     pass, so only ~5 bytes/posting ever cross the JVM↔Python boundary
+     or the shuffle,
+  4. merge: pure JVM SQL — groupBy(shard, term) over the small partial
+     rows, sort_array by first_doc, binary concat + HOF offset rebase
+     (self-contained blocks make merging a byte append),
+  5. stats (plain aggregates). Worker pools / equalizer / bulk batching
+     of the reference collapse into the Spark scheduler + Arrow batching
+     (SURVEY.md §2A rows 13–18).
 
 Sharding model (≙ Elasticsearch ``number_of_shards``, the constructor-
 mandated partitioning of /root/reference/elastic/v7/client.go:124-136,166):
@@ -19,17 +33,16 @@ sorted, independently delta-encoded, and merged by the query executor. At
 1000 executors, num_shards scales to O(cluster width) and the (shard, term)
 shuffle stays balanced regardless of term skew.
 
-Resumability (north-star B10): tokenize checkpoints per source group,
-segments per shard batch, each unit committed to the manifest atomically;
-a killed build re-runs only missing units — never re-tokenizes committed
-groups (asserted by the kill-test).
+Resumability (north-star B10): tokenize groups (doc-range buckets) and
+shard batches each commit an atomic manifest unit; a killed build re-runs
+only missing units — never re-tokenizes committed groups (kill-tested).
 
 Index layout under ``index_dir``:
   docs/                parquet: doc_id, repo, path, commit, lang,
                        content_sha256, doc_len, shard[, content]
-  tf/group=G/          parquet: doc_id, term, tf, shard   (checkpoint)
-  segments/shard=S/    parquet: term, df_local, cf_local, n_postings,
-                       max_tfnorm, block_* arrays, data binary
+  partials/group=G/shard=S/  compressed partial posting lists (checkpoint)
+  segments/batch=B/shard=S/  term, df_local, cf_local, n_postings,
+                       max_tfnorm, block_* skip arrays, data binary
   stats/global.json    {n_docs, avgdl, total_postings, ...}
   stats/terms/         parquet: term, df, cf   (query-time idf lookup)
   manifest/            one JSON per committed unit
@@ -40,14 +53,12 @@ from __future__ import annotations
 import json
 import os
 import time
-from collections.abc import Iterator
 from dataclasses import dataclass, field
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from deluge_spark.functions.tokenizer import term_counts
 from deluge_spark.index.manifest import Manifest
 from deluge_spark.operators.doc_ids import assign_doc_ids
 

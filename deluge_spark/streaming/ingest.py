@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from deluge_spark.functions.tokenizer import term_counts
-from deluge_spark.index.build import BuildConfig, build_index
+from deluge_spark.index.build import BuildConfig
 from deluge_spark.index.manifest import Manifest
 
 
@@ -63,6 +63,46 @@ def stream_ingest_corpus(spark: SparkSession, source_dir: str,
          .trigger(availableNow=True)
          .start())
     return q
+
+
+def finalize_segments(spark: SparkSession, index_dir: str,
+                      num_shards: int | None = None) -> dict:
+    """Fold the streaming tf checkpoints into searchable segments + stats —
+    the periodic compaction of the near-real-time pattern. Returns summary.
+    """
+    from deluge_spark.index.build import _build_segments
+
+    tf_path = os.path.join(index_dir, "tf")
+    groups = [os.path.join(tf_path, d) for d in sorted(os.listdir(tf_path))
+              if d.startswith("group=")]
+    tf = spark.read.option("basePath", tf_path).parquet(*groups)
+    if num_shards is None:
+        num_shards = 1 + int(tf.agg(F.max("shard")).collect()[0][0] or 0)
+
+    dl_df = tf.groupBy("doc_id").agg(F.max("dl").cast("long").alias("dl"))
+    row = dl_df.agg(F.count(F.lit(1)).alias("n"),
+                    F.avg("dl").alias("avgdl")).collect()[0]
+    n_docs, avgdl = int(row["n"] or 0), float(row["avgdl"] or 0.0)
+
+    seg = _build_segments(tf, avgdl)
+    seg.write.mode("overwrite").partitionBy("shard").parquet(
+        os.path.join(index_dir, "segments", "batch=stream"))
+
+    from deluge_spark.index.build import read_segments
+    seg_all = read_segments(spark, index_dir)
+    terms = seg_all.groupBy("term").agg(F.sum("df_local").alias("df"),
+                                        F.sum("cf_local").alias("cf"))
+    stats_dir = os.path.join(index_dir, "stats")
+    terms.write.mode("overwrite").parquet(os.path.join(stats_dir, "terms"))
+    total = int(seg_all.agg(F.sum("n_postings")).collect()[0][0] or 0)
+    import json
+    glob = {"n_docs": n_docs, "avgdl": avgdl, "total_postings": total,
+            "num_shards": num_shards, "tokenizer_mode": "code"}
+    os.makedirs(stats_dir, exist_ok=True)
+    with open(os.path.join(stats_dir, "global.json"), "w") as f:
+        json.dump(glob, f)
+    Manifest(index_dir).commit("stream_finalize", **glob)
+    return glob
 
 
 def stream_events_windowed(spark: SparkSession, source_dir: str,

@@ -41,6 +41,40 @@ def test_stream_ingest_builds_tf(spark, corpus_pdf, tmp_path_factory):
     assert set(tf.columns) >= {"doc_id", "term", "tf", "shard"}
 
 
+def test_stream_finalize_searchable(spark, corpus_pdf, tmp_path_factory):
+    """Stream-ingested tf folded into segments must answer queries
+    identically to a batch-built index over the same docs."""
+    from deluge_spark.index.build import BuildConfig as BC, build_index
+    from deluge_spark.index.search import Searcher
+    from deluge_spark.streaming.ingest import finalize_segments
+
+    src = str(tmp_path_factory.mktemp("sf_src"))
+    sidx = str(tmp_path_factory.mktemp("sf_sidx"))
+    bidx = str(tmp_path_factory.mktemp("sf_bidx"))
+    pdf = corpus_pdf.copy().reset_index(drop=True).head(150)
+    pdf["doc_id"] = range(len(pdf))
+    df = spark.createDataFrame(pdf)
+    df.repartition(3).write.mode("overwrite").parquet(src)
+    schema = ("repo string, path string, commit string, lang string, "
+              "content string, doc_id long")
+
+    q = stream_ingest_corpus(spark, src, sidx, schema,
+                             BuildConfig(num_shards=4))
+    q.awaitTermination(120)
+    finalize_segments(spark, sidx, num_shards=4)
+
+    build_index(spark, df, bidx, BC(num_shards=4, tokenize_groups=2,
+                                    shard_batches=1))
+    s_stream = Searcher(spark, sidx)
+    s_batch = Searcher(spark, bidx)
+    for query in ["import return table", "getHTTPResponse", "rareterm0"]:
+        a = s_stream.search_local(query, 10)
+        b = s_batch.search_local(query, 10)
+        assert [x[0] for x in a] == [x[0] for x in b], query
+        for (d1, s1), (d2, s2) in zip(a, b):
+            assert abs(s1 - s2) < 1e-9
+
+
 def test_stream_events_windowed(spark, sf_dir):
     q = stream_events_windowed(
         spark, f"{sf_dir}",
