@@ -74,11 +74,12 @@ def main() -> None:
     t0 = time.time()
     # num_shards is an index-layout property (data-size driven), NOT a
     # parallelism knob — fixed so the job is identical across core counts
-    build_index(spark, corpus, idx, BuildConfig(
+    bm = build_index(spark, corpus, idx, BuildConfig(
         num_shards=8, tokenize_groups=1, shard_batches=1,
         store_content=False, shuffle_partitions=2 * cpus))
     build_s = time.time() - t0
     timings["index_build"] = round(build_s, 4)
+    build_stages = bm.get("stages", {})
 
     searcher = Searcher(spark, idx, cache_stats=True, cache_segments=True)
     searcher.search_local("warmup query", 10)  # JIT/cache warm
@@ -123,6 +124,7 @@ def main() -> None:
         "cpus": cpus,
         "n_docs": n_docs,
         "build_docs_per_sec": round(n_docs / build_s, 2),
+        "build_stages": build_stages,
         "query_p50_ms": round(p50 * 1000, 2),
         "query_p95_ms": round(p95 * 1000, 2),
     }
