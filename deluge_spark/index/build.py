@@ -52,6 +52,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 from dataclasses import dataclass, field
 
@@ -108,6 +109,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
     os.makedirs(index_dir, exist_ok=True)
     man = Manifest(index_dir)
     fp = _fingerprint(corpus)
+    _reset_stale_index(index_dir, man, fp)
     t0 = time.time()
     metrics = {"retokenized_groups": 0, "rebuilt_shard_batches": 0}
     stage_t: dict[str, float] = {}
@@ -218,7 +220,8 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
 
     # ---- stage 4: stats ---------------------------------------------------
     if not man.is_done("stats", fp):
-        seg_all = read_segments(spark, index_dir)
+        batch_names = [f"batch={bi}" for bi in range(len(batches))]
+        seg_all = read_segments(spark, index_dir, batches=batch_names)
         terms = seg_all.groupBy("term").agg(
             F.sum("df_local").alias("df"), F.sum("cf_local").alias("cf"))
         terms.write.mode("overwrite").parquet(os.path.join(stats_dir, "terms"))
@@ -230,6 +233,9 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
             "total_postings": total_postings,
             "num_shards": cfg.num_shards,
             "tokenizer_mode": cfg.tokenizer_mode,
+            # authoritative batch-dir list: readers must not glob (a stale
+            # batch=* dir from an older layout would silently double-count)
+            "segment_batches": batch_names,
         }
         with open(os.path.join(stats_dir, "global.json"), "w") as f:
             json.dump(glob, f)
@@ -324,6 +330,10 @@ def _tokenize_encode_partials(df: DataFrame, text_col: str, mode: str,
                                                 pa.array(flat, patype))
 
             buf = pa.py_buffer(g["data"].tobytes())
+            if nt and int(g["term_byte_end"][-1]) >= 2**31:
+                raise ValueError(
+                    "encoded chunk exceeds 2 GiB — pa.binary() int32 offsets "
+                    "would wrap; lower the encode chunk step")
             bin_offsets = np.empty(nt + 1, dtype=np.int32)
             bin_offsets[:-1] = g["term_byte_start"]
             bin_offsets[-1] = g["term_byte_end"][-1] if nt else 0
@@ -494,6 +504,10 @@ def _build_segments(postings: DataFrame, avgdl: float,
                     list_offsets, pa.array(flat, patype))
 
             buf = pa.py_buffer(g["data"].tobytes())
+            if nt and int(g["term_byte_end"][-1]) >= 2**31:
+                raise ValueError(
+                    "encoded batch exceeds 2 GiB — pa.binary() int32 offsets "
+                    "would wrap; lower arrow.maxRecordsPerBatch / term_buckets")
             bin_offsets = np.empty(nt + 1, dtype=np.int32)
             bin_offsets[:-1] = g["term_byte_start"]
             bin_offsets[-1] = g["term_byte_end"][-1] if nt else 0
@@ -525,11 +539,39 @@ def _build_segments(postings: DataFrame, avgdl: float,
     return grouped.mapInArrow(_encode_batches, schema=SEGMENT_SCHEMA)
 
 
-def read_segments(spark: SparkSession, index_dir: str) -> DataFrame:
+def read_segments(spark: SparkSession, index_dir: str,
+                  batches: list[str] | None = None) -> DataFrame:
+    """Read segment rows. The batch-dir list comes from stats/global.json
+    (written by the build) — never from a directory glob, so batch dirs left
+    behind by an older layout (smaller shard_batches, an aborted rebuild)
+    cannot silently merge into query results. ``batches`` overrides for
+    callers mid-build, before global.json exists."""
     seg_path = os.path.join(index_dir, "segments")
-    paths = [os.path.join(seg_path, d) for d in sorted(os.listdir(seg_path))
-             if d.startswith("batch=")]
+    if batches is None:
+        gpath = os.path.join(index_dir, "stats", "global.json")
+        if os.path.exists(gpath):
+            with open(gpath) as f:
+                batches = json.load(f).get("segment_batches")
+    if batches is None:
+        batches = sorted(d for d in os.listdir(seg_path)
+                         if d.startswith("batch="))
+    paths = [os.path.join(seg_path, d) for d in batches]
     return spark.read.option("basePath", seg_path).parquet(*paths)
+
+
+def _reset_stale_index(index_dir: str, man: Manifest, fp: str) -> bool:
+    """If the manifest holds units committed under a DIFFERENT source
+    fingerprint, the on-disk artifacts belong to another corpus/layout:
+    wipe them all rather than let resume logic skip-and-mix (stale
+    partials/segment dirs would otherwise merge into results)."""
+    stale = [e for e in man.entries()
+             if e.get("fingerprint") not in (None, fp)]
+    if not stale:
+        return False
+    for sub in ("docs", "partials", "segments", "stats", "tf", "manifest"):
+        shutil.rmtree(os.path.join(index_dir, sub), ignore_errors=True)
+    os.makedirs(man.dir, exist_ok=True)
+    return True
 
 
 def read_global_stats(index_dir: str) -> dict:

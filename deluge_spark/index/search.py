@@ -18,9 +18,14 @@ A third mode, ``dataframe``, is the pure-DataFrame BM25 scoring join
 (index/score.py) over the tf checkpoints — the correctness cross-check used
 in three-way agreement tests.
 
-Keyword filters (north-star B7: the ES bool-filter on lang/repo/...) resolve
-to a sorted allowed-doc_id array broadcast into WAND when selective, else
-post-join semantics via the dataframe path.
+Keyword filters (north-star B7: the ES bool-filter on lang/repo/...):
+coordinator mode collects a sorted allowed-doc_id array (capped — the set
+must live where WAND runs); distributed mode cogroups the filtered docs
+table with the segments on ``shard`` so each executor task builds its own
+shard's allowed set — no driver round-trip, no cap. ``mode='auto'`` decides
+from the driver-cached term dictionary (Σ df over query terms) without
+launching a Spark job, and falls back coordinator→distributed when a filter
+exceeds the driver cap.
 """
 
 from __future__ import annotations
@@ -83,28 +88,41 @@ class Searcher:
             return self._seg
         return read_segments(self.spark, self.index_dir)
 
-    def _term_idfs(self, terms: list[str]) -> dict[str, float]:
-        n = self.stats["n_docs"]
+    def _term_dfs(self, terms: list[str]) -> dict[str, int]:
+        """term → df for the query's terms: free from the driver-cached
+        dictionary, one tiny filtered parquet read otherwise."""
         if self._df_map is not None:
-            return {t: idf(n, self._df_map[t]) for t in terms
-                    if t in self._df_map}
+            return {t: self._df_map[t] for t in terms if t in self._df_map}
         rows = (self.spark.read.parquet(self._terms_path)
                 .filter(F.col("term").isin(terms)).collect())
-        return {r["term"]: idf(n, int(r["df"])) for r in rows}
+        return {r["term"]: int(r["df"]) for r in rows}
 
-    def _allowed_ids(self, filters: dict[str, str] | None) -> np.ndarray | None:
-        if not filters:
-            return None
-        docs = self.spark.read.parquet(self._docs_path)
+    def _term_idfs(self, terms: list[str]) -> dict[str, float]:
+        n = self.stats["n_docs"]
+        return {t: idf(n, d) for t, d in self._term_dfs(terms).items()}
+
+    @staticmethod
+    def _filter_cond(filters: dict[str, str]):
         cond = None
         for col, val in filters.items():
             c = F.col(col) == val
             cond = c if cond is None else (cond & c)
-        ids = docs.filter(cond).select("doc_id").limit(
+        return cond
+
+    def _allowed_ids(self, filters: dict[str, str] | None) -> np.ndarray | None:
+        """Coordinator-mode filter resolution: the allowed-id set must live
+        where WAND runs (the driver here), so it is collected — capped. The
+        distributed path never does this (per-shard cogroup instead)."""
+        if not filters:
+            return None
+        docs = self.spark.read.parquet(self._docs_path)
+        ids = docs.filter(self._filter_cond(filters)).select("doc_id").limit(
             self.filter_ids_cap + 1).collect()
         if len(ids) > self.filter_ids_cap:
             raise ValueError(
-                "filter too unselective for WAND broadcast; use mode='dataframe'")
+                "filter too unselective for coordinator-mode WAND; "
+                "use mode='distributed' (executor-side filter cogroup) "
+                "or mode='dataframe'")
         return np.sort(np.array([r["doc_id"] for r in ids], dtype=np.int64))
 
     # -- public API -------------------------------------------------------
@@ -144,28 +162,37 @@ class Searcher:
         terms = list(dict.fromkeys(tokenize_py(query, self.mode)))
         if not terms:
             return self._empty()
-        idfs = self._term_idfs(terms)
-        if not idfs:
+        dfs = self._term_dfs(terms)
+        if not dfs:
             return self._empty()
+        n = self.stats["n_docs"]
+        idfs = {t: idf(n, d) for t, d in dfs.items()}
         avgdl = float(self.stats["avgdl"])
-        allowed = self._allowed_ids(filters)
 
         seg = self._segments().filter(F.col("term").isin(list(idfs)))
 
-        if mode == "auto":
-            n_postings = int(
-                seg.agg(F.sum("n_postings")).collect()[0][0] or 0)
-            mode = ("coordinator" if n_postings <= self.local_postings_cap
+        auto = mode == "auto"
+        if auto:
+            # matched posting volume = Σ df over the query's terms — known
+            # from the driver-cached dictionary, NO extra Spark job (df is
+            # exactly n_postings summed over a term's shards)
+            mode = ("coordinator" if sum(dfs.values()) <= self.local_postings_cap
                     else "distributed")
 
-        if mode == "coordinator":
-            top = self.search_local(query, k, filters, round_dp)
-            out = self.spark.createDataFrame(
-                [(int(d), float(s)) for d, s in top], RESULT_SCHEMA)
-        elif mode == "distributed":
-            out = self._distributed(seg, idfs, avgdl, k, round_dp, allowed)
-        else:
+        if mode not in ("coordinator", "distributed"):
             raise ValueError(f"unknown mode: {mode}")
+        if mode == "coordinator":
+            try:
+                top = self.search_local(query, k, filters, round_dp)
+                out = self.spark.createDataFrame(
+                    [(int(d), float(s)) for d, s in top], RESULT_SCHEMA)
+            except ValueError:
+                if not auto:
+                    raise
+                # filter too unselective for the driver — executor-side path
+                mode = "distributed"
+        if mode == "distributed":
+            out = self._distributed(seg, idfs, avgdl, k, round_dp, filters)
 
         if fetch:
             docs = self.spark.read.parquet(self._docs_path)
@@ -179,24 +206,47 @@ class Searcher:
 
     def _distributed(self, seg: DataFrame, idfs: dict[str, float],
                      avgdl: float, k: int, round_dp: int,
-                     allowed: np.ndarray | None) -> DataFrame:
-        """Per-shard WAND via applyInPandas, tiny global merge."""
+                     filters: dict[str, str] | None) -> DataFrame:
+        """Per-shard WAND via applyInPandas, tiny global merge.
+
+        Keyword filters resolve EXECUTOR-SIDE: the filtered docs table is
+        cogrouped with the segment rows on ``shard``, so each task receives
+        exactly its shard's allowed-id set — no driver collect, no size cap
+        (the docs scan prunes to (doc_id, shard) + pushed filter predicates).
+        """
         sc = self.spark.sparkContext
         b_idfs = sc.broadcast(idfs)
-        b_allowed = sc.broadcast(allowed)
 
-        def _shard_wand(pdf: pd.DataFrame) -> pd.DataFrame:
+        def _shard_wand(seg_pdf: pd.DataFrame,
+                        allowed: np.ndarray | None) -> pd.DataFrame:
             its = [
                 PostingIterator(row, b_idfs.value[row["term"]], avgdl)
-                for row in pdf.to_dict("records")
+                for row in seg_pdf.to_dict("records")
             ]
-            top = wand_top_k(its, k, round_dp, b_allowed.value)
+            top = wand_top_k(its, k, round_dp, allowed)
             return pd.DataFrame(
                 {"doc_id": [d for d, _ in top],
                  "score": [s for _, s in top]})
 
-        per_shard = seg.groupBy("shard").applyInPandas(
-            _shard_wand, schema=RESULT_SCHEMA)
+        if filters:
+            docs = (self.spark.read.parquet(self._docs_path)
+                    .filter(self._filter_cond(filters))
+                    .select("shard", "doc_id"))
+
+            def _cogrouped(seg_pdf: pd.DataFrame,
+                           ids_pdf: pd.DataFrame) -> pd.DataFrame:
+                if not len(seg_pdf):
+                    return pd.DataFrame({"doc_id": [], "score": []})
+                allowed = np.sort(
+                    ids_pdf["doc_id"].to_numpy(dtype=np.int64, copy=False))
+                return _shard_wand(seg_pdf, allowed)
+
+            per_shard = (seg.groupBy("shard")
+                         .cogroup(docs.groupBy("shard"))
+                         .applyInPandas(_cogrouped, schema=RESULT_SCHEMA))
+        else:
+            per_shard = seg.groupBy("shard").applyInPandas(
+                lambda pdf: _shard_wand(pdf, None), schema=RESULT_SCHEMA)
         return (per_shard
                 .orderBy(F.round("score", round_dp).desc(),
                          F.col("doc_id").asc())

@@ -168,15 +168,32 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       num_hashes: int = 64, bands: int = 16,
                       threshold: float = 0.5, seed: int = 42,
                       mode: str = "simple",
-                      verify_exact: bool = True) -> DataFrame:
+                      verify_exact: bool = True,
+                      collapse_exact: bool = False,
+                      bucket_cap: int | None = None) -> DataFrame:
     """MinHash-LSH near-dup candidates → (doc_a, doc_b[, jaccard]).
 
     bands×rows = num_hashes; docs sharing any full band bucket become
     candidates (banding S-curve); with verify_exact each candidate pair is
     checked with true shingle Jaccard ≥ threshold (pairs-only join — no
     all-pairs blowup).
+
+    Scale guards (the within-bucket pairing is quadratic, and real corpora
+    have giant byte-identical clusters — boilerplate licenses, vendored
+    files — that collapse every band into one bucket):
+
+    - ``collapse_exact``: run LSH over one representative (min id) per
+      identical text; pairs are then between distinct-text representatives
+      only. A 10^6-copy cluster costs one row instead of 10^12 pairs;
+      ``exact_dedup_groups`` recovers the cluster membership. This is the
+      100 TB configuration.
+    - ``bucket_cap``: hard ceiling on ids considered per (band, bucket)
+      (deterministic: smallest ids kept). A safety valve against residual
+      near-identical floods; trades bounded recall loss for bounded work.
     """
     assert num_hashes % bands == 0
+    if collapse_exact:
+        df = exact_dedup(df, id_col, text_col)
     rows = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed, mode)
     banded = sig.select(
@@ -187,6 +204,10 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
             for i in range(bands)
         ])).alias("band", "bucket"),
     )
+    if bucket_cap is not None:
+        wb = Window.partitionBy("band", "bucket").orderBy("id")
+        banded = (banded.withColumn("_bn", F.row_number().over(wb))
+                  .filter(F.col("_bn") <= bucket_cap).drop("_bn"))
     cand = (
         banded.alias("x").join(
             banded.alias("y"),
@@ -255,26 +276,50 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", max_hamming: int = 3,
-                       mode: str = "simple") -> DataFrame:
+                       mode: str = "simple",
+                       n_chunks: int | None = None) -> DataFrame:
     """Candidate near-dup pairs with Hamming(simhash) ≤ max_hamming.
 
-    Block on 4×16-bit chunks (pigeonhole: ≤3 differing bits ⇒ some 16-bit
-    chunk identical) — bucket join, then exact popcount filter.
+    Blocking = the multi-chunk pigeonhole scheme of Manku et al. 2007
+    (WWW, "Detecting near-duplicates for web crawling"): split the 64-bit
+    fingerprint into C = ``n_chunks`` pieces. A pair differing in ≤ d bits
+    differs in ≤ d chunks, so it AGREES on some (C−d)-subset — keying every
+    doc by each of its C(C,d) (C−d)-chunk-subset values guarantees candidate
+    completeness. The win over single-chunk blocking (C = d+1): the key is
+    (C−d)/C × 64 bits wide, e.g. d=3, C=6 → 32-bit keys vs 16-bit, shrinking
+    expected bucket size from n/2^16 (quadratic pain at 10^8-10^9 docs) to
+    n/2^32, for 20 key rows per doc instead of 4. Key = xxhash64(subset_id,
+    chunk values...) — hash collisions only add false candidates, which the
+    exact popcount filter removes; completeness is never lost.
+
+    Default C = d+3 (d=3 → C=6, 20 keys/doc, 32-bit effective keys).
     """
-    sh = simhash(df, id_col, text_col, mode).cache()
-    chunks = sh.select(
-        "id", "simhash",
-        F.posexplode(F.array(*[
-            F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
-            .cast("int")
-            for i in range(4)
-        ])).alias("chunk_idx", "chunk"),
-    )
-    cand = (chunks.alias("x").join(
-        chunks.alias("y"),
-        (F.col("x.chunk_idx") == F.col("y.chunk_idx"))
-        & (F.col("x.chunk") == F.col("y.chunk"))
-        & (F.col("x.id") < F.col("y.id")))
+    from itertools import combinations
+
+    if n_chunks is None:
+        n_chunks = max_hamming + 3
+    if not (max_hamming < n_chunks <= 64):
+        raise ValueError("need max_hamming < n_chunks <= 64")
+
+    sh = simhash(df, id_col, text_col, mode).cache()  # reused by both join sides
+    # chunk boundaries: 64 bits split as evenly as possible
+    base, rem = divmod(64, n_chunks)
+    widths = [base + (1 if i < rem else 0) for i in range(n_chunks)]
+    offs = [sum(widths[:i]) for i in range(n_chunks)]
+    chunk_cols = [
+        F.shiftright(F.col("simhash"), offs[i])
+        .bitwiseAND(F.lit((1 << widths[i]) - 1))  # masks sign extension too
+        for i in range(n_chunks)
+    ]
+    combos = list(combinations(range(n_chunks), n_chunks - max_hamming))
+    keys = F.array(*[
+        F.xxhash64(F.lit(ci), *[chunk_cols[j] for j in combo])
+        for ci, combo in enumerate(combos)
+    ])
+    keyed = sh.select("id", "simhash", F.explode(keys).alias("bkey"))
+    cand = (keyed.alias("x").join(
+        keyed.alias("y"),
+        (F.col("x.bkey") == F.col("y.bkey")) & (F.col("x.id") < F.col("y.id")))
         .select(F.col("x.id").alias("doc_a"), F.col("x.simhash").alias("h_a"),
                 F.col("y.id").alias("doc_b"), F.col("y.simhash").alias("h_b"))
         .distinct())

@@ -41,14 +41,32 @@ def assign_doc_ids(
     """Add a dense ``doc_id`` = rank in the total order over ``key_cols``.
 
     If the input already has a ``doc_id`` column (e.g. the driver's
-    documents fixture) it is kept untouched. The returned DataFrame is
-    cached (the partition layout must stay pinned to the offsets computed
-    from it)."""
-    if "doc_id" in df.columns:
-        return df
+    documents fixture) the ids are kept — but the index build downstream
+    requires (a) DENSE ids 0..N-1 (tokenize groups are ``doc_id // step``
+    buckets: sparse/offset ids would silently fall outside every group) and
+    (b) doc-range-disjoint partitions (the segment merge concatenates
+    partials by first_doc; interleaved ranges would break block
+    monotonicity). So pre-assigned ids are validated for density and the
+    frame is range-repartitioned on doc_id. Otherwise ids are assigned and
+    the returned DataFrame is cached (the partition layout must stay pinned
+    to the offsets computed from it)."""
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
+    if "doc_id" in df.columns:
+        row = df.agg(F.count(F.lit(1)).alias("n"),
+                     F.countDistinct("doc_id").alias("nd"),
+                     F.min("doc_id").alias("lo"),
+                     F.max("doc_id").alias("hi")).collect()[0]
+        n = int(row["n"] or 0)
+        if n and not (int(row["nd"]) == n and int(row["lo"]) == 0
+                      and int(row["hi"]) == n - 1):
+            raise ValueError(
+                f"pre-assigned doc_id must be dense 0..N-1: got n={n}, "
+                f"distinct={row['nd']}, min={row['lo']}, max={row['hi']} — "
+                "drop the column to let assign_doc_ids re-key")
+        return (df.repartitionByRange(num_partitions, F.col("doc_id"))
+                .sortWithinPartitions("doc_id"))
 
     keys = [F.col(c) for c in key_cols]
     ranged = (df.repartitionByRange(num_partitions, *keys)

@@ -96,6 +96,14 @@ def compact_segments(spark: SparkSession, index_dir: str,
     for d in old:
         shutil.rmtree(os.path.join(seg_root, d))
     os.rename(tmp, os.path.join(seg_root, "batch=compacted"))
+    # repoint the authoritative batch list (read_segments never globs)
+    gpath = os.path.join(index_dir, "stats", "global.json")
+    if os.path.exists(gpath):
+        with open(gpath) as f:
+            glob_stats = json.load(f)
+        glob_stats["segment_batches"] = ["batch=compacted"]
+        with open(gpath, "w") as f:
+            json.dump(glob_stats, f)
     man = Manifest(index_dir)
     man.commit("compaction", files_per_shard=files_per_shard,
                replaced=old)
@@ -151,6 +159,7 @@ def reindex(spark: SparkSession, index_dir: str, out_dir: str,
             "num_shards": cfg.num_shards,
             "tokenizer_mode": read_global_stats(index_dir).get(
                 "tokenizer_mode", cfg.tokenizer_mode),
+            "segment_batches": ["batch=0"],
             "migrated_from": index_dir}
     with open(os.path.join(stats_dir, "global.json"), "w") as f:
         json.dump(glob, f)

@@ -28,6 +28,7 @@ reference behavior it reproduces:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -100,32 +101,94 @@ def read_json_lines(spark: SparkSession, paths: str | list[str],
     /root/reference/document/json.go:14-28). PERMISSIVE with a corrupt-
     record column so malformed lines feed the error-threshold gate instead
     of failing the job."""
-    reader = (spark.read.option("mode", "PERMISSIVE")
-              .option("columnNameOfCorruptRecord", "_corrupt")
-              .option("recursiveFileLookup", "true"))
     if schema:
-        # Spark refuses corrupt-column-only queries on an uncached scan
-        # (SQLSTATE 0A000) — cache is the documented pattern; gate checks
-        # follow immediately so the cache is short-lived.
-        df = reader.schema(schema + ", _corrupt string").json(paths).cache()
-    else:
-        df = reader.json(paths)
+        # line-framed scan + from_json: `_corrupt` is then an ordinary
+        # computed column — no datasource corrupt-column query restriction,
+        # and crucially NO .cache() of the raw input (a 100 TB corpus must
+        # stream through the gate, not pin in cluster memory).
+        df = (spark.read.option("recursiveFileLookup", "true").text(paths)
+              .withColumn("path", F.input_file_name()))
+        df = exclude_paths(df, excludes).drop("path") if excludes else df
+        parsed = df.select(F.from_json(
+            "value", schema + ", _corrupt string",
+            {"mode": "PERMISSIVE",
+             "columnNameOfCorruptRecord": "_corrupt"}).alias("_r"))
+        return parsed.select("_r.*")
+    df = (spark.read.option("mode", "PERMISSIVE")
+          .option("recursiveFileLookup", "true").json(paths))
     if excludes:
         df = exclude_paths(df.withColumn("path", F.input_file_name()),
                            excludes).drop("path")
     return df
 
 
+def decompress_bytes(codec: str = "gzip"):
+    """Arrow-batched pandas UDF: binary column of compressed blobs → binary.
+
+    Covers the reference's full codec set — gzip / bzip2 / flate (raw
+    DEFLATE) / zlib (/root/reference/ingestor.go:255-269). Spark's text
+    readers only decode gzip/bzip2 by file EXTENSION; bare flate/zlib
+    streams (or compressed blobs stored in a table column) need this."""
+    import bz2
+    import gzip
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    if codec == "gzip":
+        fn = gzip.decompress
+    elif codec == "bzip2":
+        fn = bz2.decompress
+    elif codec == "flate":                      # raw DEFLATE, no header
+        fn = lambda b: zlib.decompress(b, wbits=-15)  # noqa: E731
+    elif codec == "zlib":
+        fn = zlib.decompress
+    elif codec == "none":
+        fn = bytes
+    else:
+        raise ValueError(f"unknown codec: {codec}")
+
+    @pandas_udf("binary")
+    def _inflate(s: pd.Series) -> pd.Series:
+        return s.map(lambda b: None if b is None else fn(bytes(b)))
+
+    return _inflate
+
+
+def read_raw_compressed_lines(spark: SparkSession, paths: str | list[str],
+                              codec: str,
+                              excludes: list[str] | None = None,
+                              max_line_bytes: int = DEFAULT_MAX_LINE_BYTES
+                              ) -> DataFrame:
+    """Line-framed scan of files in codecs Spark does NOT auto-decode (bare
+    flate/zlib streams) → (path, line). binaryFile loads each file whole —
+    appropriate for the bulk-of-small-compressed-files shape this exists
+    for; extension-decodable .gz/.bz2 should use ``read_lines``."""
+    df = (spark.read.format("binaryFile")
+          .option("recursiveFileLookup", "true").load(paths)
+          .select(F.col("path"), F.col("content")))
+    df = exclude_paths(df, excludes)
+    inflate = decompress_bytes(codec)
+    # frame like bufio.Scanner/ScanLines (ingestor.go:339-375): \r?\n
+    # separators, no phantom empty record after a trailing newline
+    text = F.regexp_replace(inflate(F.col("content")).cast("string"),
+                            "\r?\n$", "")
+    lines = (df.select("path", F.split(text, "\r?\n").alias("_lines"))
+             .select("path", F.explode("_lines").alias("line")))
+    return lines.filter(F.length("line") <= max_line_bytes)
+
+
 def typed_field(col: str, dtype: str, ts_format: str | None = None):
     """Lenient typed accessor: parse failure → NULL (the (zero, false)
     contract of /root/reference/document/csv.go:45-129).
 
-    bool follows the reference: 'true' or '1' (case-insensitive) → true,
-    anything else present → false (csv.go:108-117)."""
+    bool follows the reference exactly: the case-sensitive literals 'true'
+    or '1' → true, anything else present → false (csv.go:108-117 compares
+    ``col == "true" || col == "1"`` — no case folding)."""
     c = F.col(col)
     if dtype == "bool":
         return F.when(c.isNull(), F.lit(None).cast("boolean")).otherwise(
-            F.lower(c).isin("true", "1"))
+            c.isin("true", "1"))
     if dtype == "timestamp":
         if ts_format:
             return F.try_to_timestamp(c, F.lit(ts_format))

@@ -88,16 +88,27 @@ def finalize_segments(spark: SparkSession, index_dir: str,
     seg.write.mode("overwrite").partitionBy("shard").parquet(
         os.path.join(index_dir, "segments", "batch=stream"))
 
+    import json
+
     from deluge_spark.index.build import read_segments
-    seg_all = read_segments(spark, index_dir)
+    # authoritative batch list = whatever a prior build recorded + the
+    # stream batch (never a glob — see read_segments)
+    stats_dir = os.path.join(index_dir, "stats")
+    gpath = os.path.join(stats_dir, "global.json")
+    batch_names: list[str] = []
+    if os.path.exists(gpath):
+        with open(gpath) as f:
+            batch_names = list(json.load(f).get("segment_batches", []))
+    if "batch=stream" not in batch_names:
+        batch_names.append("batch=stream")
+    seg_all = read_segments(spark, index_dir, batches=batch_names)
     terms = seg_all.groupBy("term").agg(F.sum("df_local").alias("df"),
                                         F.sum("cf_local").alias("cf"))
-    stats_dir = os.path.join(index_dir, "stats")
     terms.write.mode("overwrite").parquet(os.path.join(stats_dir, "terms"))
     total = int(seg_all.agg(F.sum("n_postings")).collect()[0][0] or 0)
-    import json
     glob = {"n_docs": n_docs, "avgdl": avgdl, "total_postings": total,
-            "num_shards": num_shards, "tokenizer_mode": "code"}
+            "num_shards": num_shards, "tokenizer_mode": "code",
+            "segment_batches": batch_names}
     os.makedirs(stats_dir, exist_ok=True)
     with open(os.path.join(stats_dir, "global.json"), "w") as f:
         json.dump(glob, f)

@@ -24,14 +24,18 @@ STATE_SCHEMA = "start long, last long, n long, sv double"
 def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Batch sessionization: a session breaks where the gap from the previous
     event of the same user exceeds ``gap_minutes`` (lag + cumulative sum)."""
-    gap_s = gap_minutes * 60
+    # gap compare in MICROSECONDS (Spark timestamp precision): whole-second
+    # unix_timestamp truncation could flip a break decision right at the
+    # boundary vs the fractional-epoch oracle and the ns streaming path
+    gap_us = gap_minutes * 60 * 1_000_000
     w = Window.partitionBy("user_id").orderBy("ts")
     tagged = (events
               .withColumn("_prev", F.lag("ts").over(w))
               .withColumn("_new", F.when(
                   F.col("_prev").isNull()
-                  | ((F.unix_timestamp("ts") - F.unix_timestamp("_prev"))
-                     > gap_s), 1).otherwise(0))
+                  | ((F.unix_micros(F.col("ts").cast("timestamp"))
+                      - F.unix_micros(F.col("_prev").cast("timestamp")))
+                     > gap_us), 1).otherwise(0))
               .withColumn("_sid", F.sum("_new").over(
                   w.rowsBetween(Window.unboundedPreceding, 0))))
     return (tagged.groupBy("user_id", "_sid")

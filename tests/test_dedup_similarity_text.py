@@ -93,6 +93,31 @@ def test_minhash_signature_determinism(docs, spark):
     assert all(len(v) == 64 for v in s1.values())
 
 
+def test_minhash_collapse_exact_bounds_giant_cluster(spark):
+    """A 1k-copy identical cluster (license-boilerplate scenario) must not
+    explode the LSH bucket join: collapse_exact=True runs LSH over one
+    representative per distinct text, so the candidate count is bounded by
+    distinct texts, and the verified near-dup pairs between distinct texts
+    are still found (intra-cluster membership comes from
+    exact_dedup_groups, not pairwise emission)."""
+    base = ("permission is hereby granted free of charge to any person "
+            "obtaining a copy of this software and associated files")
+    rows = [(i, base) for i in range(1000)]
+    rows.append((2000, base + " today"))        # near-dup of the cluster
+    rows.append((3000, "completely different content about spark shuffles "
+                       "and partition pruning strategies"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cand = minhash_lsh_pairs(docs, n=2, collapse_exact=True,
+                             verify_exact=False)
+    assert cand.count() <= 3          # ≤ C(3,2) representative pairs
+    pairs = minhash_lsh_pairs(docs, n=2, threshold=0.5,
+                              collapse_exact=True).collect()
+    assert {(r.doc_a, r.doc_b) for r in pairs} == {(0, 2000)}
+    # bucket_cap alone also bounds candidate work (recall trade documented)
+    capped = minhash_lsh_pairs(docs, n=2, bucket_cap=10, verify_exact=False)
+    assert capped.count() <= 16 * 45  # bands × C(cap,2)
+
+
 def test_simhash_near_pairs(docs):
     h = {r.id: r.simhash for r in simhash(docs).collect()}
     assert h[0] == h[3]                           # identical docs

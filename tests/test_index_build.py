@@ -94,6 +94,48 @@ def test_keyword_filter(spark, index_dir, oracle):
     assert [r.doc_id for r in got_df] == [d for d, _ in want]
 
 
+def test_keyword_filter_distributed_no_driver_cap(spark, index_dir, oracle):
+    """A filter selecting far more ids than filter_ids_cap must still work:
+    auto mode falls back to the distributed cogroup path (executor-side
+    allowed sets), and explicit distributed mode never touches the cap."""
+    docs = spark.read.parquet(f"{index_dir}/docs")
+    py_ids = {r["doc_id"] for r in
+              docs.filter(F.col("lang") == "python").select("doc_id").collect()}
+    assert len(py_ids) > 5
+    s = Searcher(spark, index_dir, filter_ids_cap=5)
+    want = oracle.top_k(["import", "return"], 10, filter_ids=py_ids, round_dp=9)
+    for mode in ("auto", "distributed"):
+        got = s.search("import return", 10, filters={"lang": "python"},
+                       mode=mode).collect()
+        assert [r.doc_id for r in got] == [d for d, _ in want], mode
+    # coordinator requested explicitly → the cap must still guard the driver
+    with pytest.raises(ValueError, match="coordinator"):
+        s.search("import return", 10, filters={"lang": "python"},
+                 mode="coordinator").collect()
+
+
+def test_auto_mode_decides_without_spark_job(spark, index_dir):
+    """mode='auto' derives matched-posting volume from the driver-cached
+    dictionary: a coordinator-auto search runs exactly ONE job (the segment
+    fetch), not an extra sum(n_postings) aggregate."""
+    s = Searcher(spark, index_dir, cache_stats=True)  # dict pulled here
+    tracker = spark.sparkContext.statusTracker()
+
+    def _jobs(group: str, mode: str) -> int:
+        spark.sparkContext.setJobGroup(group, mode)
+        try:
+            s.search("import return", 10, mode=mode)  # eager jobs only
+        finally:
+            spark.sparkContext.setJobGroup("", "")
+        return len(tracker.getJobIdsForGroup(group) or [])
+
+    n_coord = _jobs("probe_coord", "coordinator")
+    n_auto = _jobs("probe_auto", "auto")
+    assert n_auto <= n_coord, (
+        f"auto mode ran {n_auto} jobs vs {n_coord} for explicit coordinator "
+        "— the mode decision must not launch its own aggregate job")
+
+
 def test_fetch_fields(spark, index_dir):
     s = Searcher(spark, index_dir)
     got = s.search("rareterm0", 5, fetch=True).collect()
