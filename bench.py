@@ -94,6 +94,11 @@ def main() -> None:
     t0 = time.time()
     searcher.search(BENCH_QUERIES[0][1], 10, mode="distributed").collect()
     timings["q_distributed_df"] = round(time.time() - t0, 4)
+    # distributed + keyword filter (executor-side cogroup path)
+    t0 = time.time()
+    searcher.search("data value", 10, filters={"lang": "en"},
+                    mode="distributed").collect()
+    timings["q_distributed_filtered"] = round(time.time() - t0, 4)
     lat.sort()
     p50 = lat[len(lat) // 2]
     p95 = lat[min(len(lat) - 1, int(len(lat) * 0.95))]
@@ -107,6 +112,10 @@ def main() -> None:
     t0 = time.time()
     minhash_lsh_pairs(docs, n=2, num_hashes=64, bands=16, threshold=0.5).count()
     timings["op_minhash_lsh"] = round(time.time() - t0, 4)
+    t0 = time.time()
+    minhash_lsh_pairs(docs, n=2, num_hashes=64, bands=16, threshold=0.5,
+                      collapse_exact=True).count()
+    timings["op_minhash_lsh_collapsed"] = round(time.time() - t0, 4)
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qv = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]

@@ -8,20 +8,25 @@ partials pipeline over a columnar source table:
 
   1. doc-id assignment (JVM, one range exchange of the corpus — the total
      order (repo, path, commit) defines dense ids),
-  2. docs table: per-row sha256 invariant + doc_len via the JVM tokenizer
-     twin → corpus stats (N, avgdl) known before encoding,
-  3. tokenize + encode: ONE Arrow pass per source partition produces
-     compressed per-(shard, term) PARTIAL posting lists for that
-     partition's contiguous doc range — analysis (RE2 kernels, C++
-     group-by) and block compression (numpy varint codec) in the same
-     pass, so only ~5 bytes/posting ever cross the JVM↔Python boundary
-     or the shuffle,
+  2. docs table: per-row sha256 invariant (JVM sha2 intrinsic) + stored
+     fields — a cheap projection, NO tokenization,
+  3. tokenize + encode: the corpus's ONE analysis pass. Per source
+     partition it produces compressed per-(shard, term) PARTIAL posting
+     lists for that partition's contiguous doc range — analysis (RE2
+     kernels, C++ group-by) and block compression (numpy varint codec) in
+     the same pass, so only ~5 bytes/posting ever cross the JVM↔Python
+     boundary or the shuffle — plus per-doc (doc_id, dl) meta rows. Block
+     bounds are stored as Lucene-style impact pairs (max_tf, min_dl), so
+     encoding needs NO corpus stats: avgdl is derived from the meta rows
+     AFTER this pass (a 100 TB corpus is scanned and tokenized exactly
+     once; the earlier two-pass design re-tokenized everything JVM-side
+     just to learn avgdl before encoding),
   4. merge: pure JVM SQL — groupBy(shard, term) over the small partial
      rows, sort_array by first_doc, binary concat + HOF offset rebase
      (self-contained blocks make merging a byte append),
-  5. stats (plain aggregates). Worker pools / equalizer / bulk batching
-     of the reference collapse into the Spark scheduler + Arrow batching
-     (SURVEY.md §2A rows 13–18).
+  5. stats (plain aggregates over the tiny meta/segment tables). Worker
+     pools / equalizer / bulk batching of the reference collapse into the
+     Spark scheduler + Arrow batching (SURVEY.md §2A rows 13–18).
 
 Sharding model (≙ Elasticsearch ``number_of_shards``, the constructor-
 mandated partitioning of /root/reference/elastic/v7/client.go:124-136,166):
@@ -39,11 +44,13 @@ only missing units — never re-tokenizes committed groups (kill-tested).
 
 Index layout under ``index_dir``:
   docs/                parquet: doc_id, repo, path, commit, lang,
-                       content_sha256, doc_len, shard[, content]
-  partials/group=G/shard=S/  compressed partial posting lists (checkpoint)
+                       content_sha256, shard[, content]
+  docs_meta/           parquet: doc_id, dl (docs with ≥1 token)
+  partials/group=G/shard=S/  compressed partial posting lists (checkpoint;
+                       rows with term IS NULL are per-doc meta rows)
   segments/batch=B/shard=S/  term, df_local, cf_local, n_postings,
-                       max_tfnorm, block_* skip arrays, data binary
-  stats/global.json    {n_docs, avgdl, total_postings, ...}
+                       max_tf, min_dl, block_* skip arrays, data binary
+  stats/global.json    {n_docs, avgdl, total_postings, segment_batches, ...}
   stats/terms/         parquet: term, df, cf   (query-time idf lookup)
   manifest/            one JSON per committed unit
 """
@@ -65,9 +72,9 @@ from deluge_spark.operators.doc_ids import assign_doc_ids
 
 SEGMENT_SCHEMA = (
     "shard int, term string, df_local long, cf_local long, n_postings long, "
-    "max_tfnorm double, block_first array<long>, block_last array<long>, "
-    "block_count array<int>, block_off array<long>, block_max array<double>, "
-    "data binary"
+    "max_tf long, min_dl long, block_first array<long>, "
+    "block_last array<long>, block_count array<int>, block_off array<long>, "
+    "block_max_tf array<long>, block_min_dl array<long>, data binary"
 )
 
 
@@ -121,6 +128,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
         _last[0] = now
 
     docs_path = os.path.join(index_dir, "docs")
+    meta_path = os.path.join(index_dir, "docs_meta")
     partials_path = os.path.join(index_dir, "partials")
     seg_path = os.path.join(index_dir, "segments")
     stats_dir = os.path.join(index_dir, "stats")
@@ -140,39 +148,28 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
         "grp", (F.col("doc_id") / F.lit(grp_step)).cast("int")
     )
 
-    # ---- stage 1: docs table (sha256 invariant + doc_len), stats --------
-    # doc_len via the JVM tokenizer twin (token-identical to the Arrow
-    # tokenizer, proven by tests) — no Python pass, and it makes avgdl
-    # available BEFORE the encode stage needs it for block-max scores.
+    # ---- stage 1: docs table (sha256 invariant + stored fields) ----------
+    # A pure JVM projection — sha2 is a codegen intrinsic; no tokenization
+    # here (doc lengths come out of the single analysis pass below).
     if not man.is_done("docs", fp):
-        from deluge_spark.operators.dedup import tokens_col
-
         keep = ["doc_id", *base_cols,
                 F.sha2(F.col("content"), 256).alias("content_sha256"),
-                "shard",
-                F.size(F.filter(tokens_col("content", cfg.tokenizer_mode),
-                                lambda t: t != "")).alias("doc_len")]
+                "shard"]
         if cfg.store_content:
             keep.append("content")
-        docs_out = docs_with_ids.select(*keep).withColumn(
-            "doc_len", F.coalesce(F.col("doc_len"), F.lit(0)).cast("long"))
-        docs_out.write.mode("overwrite").parquet(docs_path)
+        docs_with_ids.select(*keep).write.mode("overwrite").parquet(docs_path)
         n_docs_total = (spark.read.parquet(docs_path).count()
                         if cfg.manifest_counts else -1)
         man.commit("docs", fp, rows=n_docs_total)
         _mark("docs_table")
 
-    docs_tbl = spark.read.parquet(docs_path)
-    n_docs, avgdl = _stats_from_dl(
-        docs_tbl.filter(F.col("doc_len") > 0)
-        .select(F.col("doc_len").alias("dl")))
-    _mark("corpus_stats")
-
     # ---- stage 2: tokenize + encode partial postings, per group ---------
-    # ONE Python pass does analysis AND block compression; only compressed
-    # partial posting lists cross the Arrow boundary (~5 bytes/posting
-    # instead of a 30-byte tf row — the JVM<->Python pipe is the scaling
-    # bottleneck in this sandbox, and shuffle volume shrinks the same way).
+    # THE corpus pass: ONE Python stage does analysis AND block compression;
+    # only compressed partial posting lists (+tiny per-doc meta rows) cross
+    # the Arrow boundary (~5 bytes/posting instead of a 30-byte tf row —
+    # the JVM<->Python pipe is the scaling bottleneck in this sandbox, and
+    # shuffle volume shrinks the same way). Impact-pair block bounds mean
+    # no avgdl is needed here.
     done_tok = 0
     for g in range(cfg.tokenize_groups):
         unit = f"tokenize_g{g}"
@@ -183,7 +180,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
             raise FaultInjected(f"injected failure before {unit}")
         part = docs_with_ids.filter(F.col("grp") == g)
         partials = _tokenize_encode_partials(
-            part, "content", cfg.tokenizer_mode, cfg.num_shards, avgdl)
+            part, "content", cfg.tokenizer_mode, cfg.num_shards)
         out = os.path.join(partials_path, f"group={g}")
         partials.write.mode("overwrite").partitionBy("shard").parquet(out)
         n_rows = spark.read.parquet(out).count() if cfg.manifest_counts else -1
@@ -195,6 +192,19 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
     partials_all = spark.read.option("basePath", partials_path).parquet(
         *[os.path.join(partials_path, f"group={g}")
           for g in range(cfg.tokenize_groups)])
+
+    # ---- stage 2b: per-doc meta (doc_id, dl) → corpus stats --------------
+    if not man.is_done("docmeta", fp):
+        (partials_all.filter(F.col("term").isNull())
+         .select(F.col("first_doc").alias("doc_id"),
+                 F.col("df_p").alias("dl"))
+         .write.mode("overwrite").parquet(meta_path))
+        man.commit("docmeta", fp)
+    n_docs, avgdl = _stats_from_dl(
+        spark.read.parquet(meta_path).select("dl"))
+    _mark("corpus_stats")
+
+    partials_all = partials_all.filter(F.col("term").isNotNull())
 
     # ---- stage 3: merge partials into segments, per shard batch ----------
     # Pure JVM: one (shard, term) shuffle of the SMALL partial rows, then
@@ -250,19 +260,21 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
 
 PARTIALS_SCHEMA = (
     "shard int, term string, first_doc long, df_p long, cf_p long, "
-    "max_tfnorm double, block_first array<long>, block_last array<long>, "
-    "block_count array<int>, block_off array<long>, block_max array<double>, "
-    "data binary"
+    "max_tf long, min_dl long, block_first array<long>, "
+    "block_last array<long>, block_count array<int>, block_off array<long>, "
+    "block_max_tf array<long>, block_min_dl array<long>, data binary"
 )
 
 
 def _tokenize_encode_partials(df: DataFrame, text_col: str, mode: str,
-                              num_shards: int, avgdl: float) -> DataFrame:
+                              num_shards: int) -> DataFrame:
     """One Python pass per source partition: tokenize every doc, then build
     per-(shard, term) PARTIAL posting lists (sorted, blocked, compressed)
-    for the partition's contiguous doc range. The classic map-side combine
-    of MapReduce index building — shuffle and Arrow-boundary volume shrink
-    to the compressed size."""
+    for the partition's contiguous doc range, PLUS one per-doc meta row
+    (term=NULL, first_doc=doc_id, df_p=dl) — the single corpus scan yields
+    both postings and doc lengths. The classic map-side combine of MapReduce
+    index building — shuffle and Arrow-boundary volume shrink to the
+    compressed size."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -270,6 +282,36 @@ def _tokenize_encode_partials(df: DataFrame, text_col: str, mode: str,
     from deluge_spark.index.codec import encode_group
 
     src = df.select("doc_id", text_col)
+
+    def _empty_list(n, patype):
+        return pa.ListArray.from_arrays(
+            pa.array(np.zeros(n + 1, dtype=np.int32), pa.int32()),
+            pa.array([], patype))
+
+    def _meta_batch(doc, dl):
+        udoc, uidx = np.unique(doc, return_index=True)
+        nm = len(udoc)
+        return pa.RecordBatch.from_pydict({
+            "shard": pa.array((udoc % num_shards).astype(np.int32),
+                              pa.int32()),
+            "term": pa.nulls(nm, pa.string()),
+            "first_doc": pa.array(udoc, pa.int64()),
+            "df_p": pa.array(dl[uidx].astype(np.int64), pa.int64()),
+            "cf_p": pa.array(np.zeros(nm, np.int64), pa.int64()),
+            "max_tf": pa.array(np.zeros(nm, np.int64), pa.int64()),
+            "min_dl": pa.array(np.zeros(nm, np.int64), pa.int64()),
+            "block_first": _empty_list(nm, pa.int64()),
+            "block_last": _empty_list(nm, pa.int64()),
+            "block_count": _empty_list(nm, pa.int32()),
+            "block_off": _empty_list(nm, pa.int64()),
+            "block_max_tf": _empty_list(nm, pa.int64()),
+            "block_min_dl": _empty_list(nm, pa.int64()),
+            "data": pa.Array.from_buffers(
+                pa.binary(), nm,
+                [None,
+                 pa.py_buffer(np.zeros(nm + 1, dtype=np.int32).tobytes()),
+                 pa.py_buffer(b"")]),
+        })
 
     def _partition(it):
         docs_l, terms_l, tf_l, dl_l = [], [], [], []
@@ -312,10 +354,12 @@ def _tokenize_encode_partials(df: DataFrame, text_col: str, mode: str,
             pos = e + step
         bounds.append(n)
 
+        yield _meta_batch(doc, dl)
+
         for s, e in zip(bounds[:-1], bounds[1:]):
             if e <= s:
                 continue
-            g = encode_group(key[s:e], doc[s:e], tf[s:e], dl[s:e], avgdl)
+            g = encode_group(key[s:e], doc[s:e], tf[s:e], dl[s:e])
             nt = g["n_terms"]
             k = key[s:e][g["term_pos"]]
             shard_out = (k % num_shards).astype(np.int32)
@@ -347,12 +391,14 @@ def _tokenize_encode_partials(df: DataFrame, text_col: str, mode: str,
                 "first_doc": pa.array(first_doc, pa.int64()),
                 "df_p": pa.array(g["df_local"], pa.int64()),
                 "cf_p": pa.array(g["cf_local"], pa.int64()),
-                "max_tfnorm": pa.array(g["max_tfnorm"], pa.float64()),
+                "max_tf": pa.array(g["max_tf"], pa.int64()),
+                "min_dl": pa.array(g["min_dl"], pa.int64()),
                 "block_first": _list(g["block_first"], pa.int64()),
                 "block_last": _list(g["block_last"], pa.int64()),
                 "block_count": _list(g["block_count"], pa.int32()),
                 "block_off": _list(g["block_off"], pa.int64()),
-                "block_max": _list(g["block_max"], pa.float64()),
+                "block_max_tf": _list(g["block_max_tf"], pa.int64()),
+                "block_min_dl": _list(g["block_min_dl"], pa.int64()),
                 "data": data_arr,
             })
 
@@ -372,12 +418,14 @@ def _merge_partials(partials: DataFrame) -> DataFrame:
             F.col("first_doc").alias("fd"),
             F.col("df_p").alias("df_p"),
             F.col("cf_p").alias("cf_p"),
-            F.col("max_tfnorm").alias("mt"),
+            F.col("max_tf").alias("mt"),
+            F.col("min_dl").alias("md"),
             F.col("block_first").alias("bf"),
             F.col("block_last").alias("bl"),
             F.col("block_count").alias("bc"),
             F.col("block_off").alias("bo"),
-            F.col("block_max").alias("bm"),
+            F.col("block_max_tf").alias("bmt"),
+            F.col("block_min_dl").alias("bmd"),
             F.col("data").alias("data"),
         ))).alias("ps"))
     return grouped.selectExpr(
@@ -385,8 +433,10 @@ def _merge_partials(partials: DataFrame) -> DataFrame:
         "aggregate(ps, CAST(0 AS BIGINT), (a, x) -> a + x.df_p) AS df_local",
         "aggregate(ps, CAST(0 AS BIGINT), (a, x) -> a + x.cf_p) AS cf_local",
         "aggregate(ps, CAST(0 AS BIGINT), (a, x) -> a + x.df_p) AS n_postings",
-        "aggregate(ps, CAST(0 AS DOUBLE), (a, x) -> greatest(a, x.mt)) "
-        "AS max_tfnorm",
+        "aggregate(ps, CAST(0 AS BIGINT), (a, x) -> greatest(a, x.mt)) "
+        "AS max_tf",
+        "aggregate(ps, CAST(9223372036854775807 AS BIGINT), "
+        "(a, x) -> least(a, x.md)) AS min_dl",
         "flatten(transform(ps, x -> x.bf)) AS block_first",
         "flatten(transform(ps, x -> x.bl)) AS block_last",
         "flatten(transform(ps, x -> x.bc)) AS block_count",
@@ -395,7 +445,8 @@ def _merge_partials(partials: DataFrame) -> DataFrame:
         "(a, x) -> struct(a.off + CAST(length(x.data) AS BIGINT), "
         "concat(a.acc, transform(x.bo, o -> o + a.off))), "
         "a -> a.acc) AS block_off",
-        "flatten(transform(ps, x -> x.bm)) AS block_max",
+        "flatten(transform(ps, x -> x.bmt)) AS block_max_tf",
+        "flatten(transform(ps, x -> x.bmd)) AS block_min_dl",
         "aggregate(ps, CAST(X'' AS BINARY), (a, x) -> concat(a, x.data)) "
         "AS data",
     )
@@ -454,7 +505,7 @@ def _shard_batches(num_shards: int, n_batches: int) -> list[list[int]]:
     return [list(range(num_shards))[i::n_batches] for i in range(n_batches)]
 
 
-def _build_segments(postings: DataFrame, avgdl: float,
+def _build_segments(postings: DataFrame,
                     term_buckets: int = 32) -> DataFrame:
     """(doc_id, term, tf, dl, shard) → one packed posting list per
     (shard, term) — the single wide shuffle of the build.
@@ -493,7 +544,7 @@ def _build_segments(postings: DataFrame, avgdl: float,
             idx = np.repeat(np.arange(batch.num_rows, dtype=np.int64), lens)
             # lists arrive doc-sorted (sort_array) and terms are distinct
             # rows → (idx, doc) is already the encoder's required order
-            g = encode_group(idx, doc, tf, dl, avgdl)
+            g = encode_group(idx, doc, tf, dl)
 
             nt = g["n_terms"]
             list_offsets = pa.array(
@@ -521,12 +572,14 @@ def _build_segments(postings: DataFrame, avgdl: float,
                 "df_local": pa.array(g["df_local"], pa.int64()),
                 "cf_local": pa.array(g["cf_local"], pa.int64()),
                 "n_postings": pa.array(g["df_local"], pa.int64()),
-                "max_tfnorm": pa.array(g["max_tfnorm"], pa.float64()),
+                "max_tf": pa.array(g["max_tf"], pa.int64()),
+                "min_dl": pa.array(g["min_dl"], pa.int64()),
                 "block_first": _list(g["block_first"], pa.int64()),
                 "block_last": _list(g["block_last"], pa.int64()),
                 "block_count": _list(g["block_count"], pa.int32()),
                 "block_off": _list(g["block_off"], pa.int64()),
-                "block_max": _list(g["block_max"], pa.float64()),
+                "block_max_tf": _list(g["block_max_tf"], pa.int64()),
+                "block_min_dl": _list(g["block_min_dl"], pa.int64()),
                 "data": data_arr,
             })
 

@@ -13,9 +13,13 @@ lists produced by different source partitions merge by pure byte
 concatenation + skip-array append (the map-side-partials build relies on
 this; no varint fix-up at merge). The skip table (parquet array columns,
 one row per posting list) carries per block: first/last doc_id, byte
-offset, posting count, and the block-max *tfnorm*
-``max tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))`` — idf-independent, so the
-build needs no df join; query-time block-max impact = idf(term) · tfnorm.
+offset, posting count, and the block-max *impact pair*
+``(max tf, min dl)`` — the Lucene-style competitive bound: tfnorm is
+monotone ↑ in tf and ↓ in dl, so ``tfnorm(max_tf, min_dl, avgdl)`` upper-
+bounds every posting in the block for ANY avgdl. Storing the pair instead
+of a baked tfnorm keeps the encoder independent of corpus stats, which is
+what lets the build tokenize+encode in its single corpus pass (no avgdl
+pre-pass); query-time block-max impact = idf(term) · tfnorm(pair, avgdl).
 
 Varint is LEB128 (7 bits/byte, MSB continuation), encode and decode fully
 vectorized (np.add.reduceat over continuation-bit groups) — no per-posting
@@ -114,8 +118,8 @@ def varint_nbytes(values: np.ndarray) -> np.ndarray:
     return nbytes
 
 
-def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
-                    avgdl: float) -> dict:
+def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray,
+                    dls: np.ndarray) -> dict:
     """Sorted postings → packed block format.
 
     Returns dict with ``data`` (bytes) and skip-table arrays; see module doc.
@@ -158,23 +162,25 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
     np.cumsum(nb, out=byte_prefix[1:])
     block_off = byte_prefix[vstart]
 
-    # per-block max tfnorm, vectorized via reduceat over the full list
-    tn = tfnorm(t, l, avgdl)
-    block_max = np.maximum.reduceat(tn, starts) if n else np.empty(0)
+    # per-block impact pair (max tf, min dl), vectorized via reduceat
+    e0 = np.empty(0, dtype=np.int64)
+    block_max_tf = np.maximum.reduceat(t, starts) if n else e0
+    block_min_dl = np.minimum.reduceat(l, starts) if n else e0
 
     return {
         "data": data.tobytes(),
-        "block_first": d[starts] if n else np.empty(0, dtype=np.int64),
-        "block_last": d[ends - 1] if n else np.empty(0, dtype=np.int64),
+        "block_first": d[starts] if n else e0,
+        "block_last": d[ends - 1] if n else e0,
         "block_count": counts,
         "block_off": block_off,
-        "block_max": block_max.astype(np.float64),
+        "block_max_tf": block_max_tf.astype(np.int64),
+        "block_min_dl": block_min_dl.astype(np.int64),
         "n_postings": n,
     }
 
 
 def encode_group(term_idx: np.ndarray, doc_ids: np.ndarray,
-                 tfs: np.ndarray, dls: np.ndarray, avgdl: float) -> dict:
+                 tfs: np.ndarray, dls: np.ndarray) -> dict:
     """Vectorized multi-term encoder: one (shard, term-bucket) group in, all
     posting lists out — byte-identical per term to ``encode_postings``
     (property-tested), with zero per-term Python in the hot path.
@@ -183,8 +189,9 @@ def encode_group(term_idx: np.ndarray, doc_ids: np.ndarray,
     arrays plus list offsets, ready for ``pa.ListArray.from_arrays``:
       n_terms, term_pos (index of each term's first posting),
       term_block_offsets (n_terms+1), data (one buffer),
-      term_byte_start/end, flat block_first/last/count/off(local)/max,
-      df_local, cf_local.
+      term_byte_start/end, flat block_first/last/count/off(local) +
+      impact pairs block_max_tf/block_min_dl, df_local, cf_local,
+      term-level max_tf/min_dl.
 
     Code-scale vocabularies put 10^5-10^6 short posting lists in one bucket
     (every unique identifier/number is a term); a per-term loop at ~60 µs
@@ -239,16 +246,18 @@ def encode_group(term_idx: np.ndarray, doc_ids: np.ndarray,
     block_first = d[is_first]
     block_last = d[is_last]
     block_start_pos = np.flatnonzero(is_first)
-    tn = tfnorm(t, l, avgdl)
-    block_max = np.maximum.reduceat(tn, block_start_pos) if n else np.empty(0)
+    e0 = np.empty(0, dtype=np.int64)
+    block_max_tf = np.maximum.reduceat(t, block_start_pos) if n else e0
+    block_min_dl = np.minimum.reduceat(l, block_start_pos) if n else e0
 
     term_byte_start = block_off_global[blk_term_off]
     term_byte_end = np.concatenate([term_byte_start[1:], [data.size]])
     block_off_local = block_off_global - np.repeat(
         term_byte_start, nbl_per_term)
 
-    cf_local = np.add.reduceat(t, term_starts) if n else np.empty(0)
-    max_tfnorm = np.maximum.reduceat(tn, term_starts) if n else np.empty(0)
+    cf_local = np.add.reduceat(t, term_starts) if n else e0
+    max_tf = np.maximum.reduceat(t, term_starts) if n else e0
+    min_dl = np.minimum.reduceat(l, term_starts) if n else e0
 
     term_block_offsets = np.zeros(n_terms + 1, dtype=np.int64)
     np.cumsum(nbl_per_term, out=term_block_offsets[1:])
@@ -258,13 +267,15 @@ def encode_group(term_idx: np.ndarray, doc_ids: np.ndarray,
         "term_pos": term_starts,
         "df_local": term_lens,
         "cf_local": cf_local,
-        "max_tfnorm": max_tfnorm,
+        "max_tf": max_tf.astype(np.int64),
+        "min_dl": min_dl.astype(np.int64),
         "term_block_offsets": term_block_offsets,
         "block_first": block_first,
         "block_last": block_last,
         "block_count": c_b.astype(np.int32),
         "block_off": block_off_local,
-        "block_max": block_max.astype(np.float64),
+        "block_max_tf": block_max_tf.astype(np.int64),
+        "block_min_dl": block_min_dl.astype(np.int64),
         "data": data,
         "term_byte_start": term_byte_start,
         "term_byte_end": term_byte_end,

@@ -67,6 +67,7 @@ class Searcher:
         self.filter_ids_cap = filter_ids_cap
         self._terms_path = os.path.join(index_dir, "stats", "terms")
         self._docs_path = os.path.join(index_dir, "docs")
+        self._meta_path = os.path.join(index_dir, "docs_meta")
         self._df_map: dict[str, int] | None = None
         self._seg: DataFrame | None = None
         if cache_stats:
@@ -263,9 +264,7 @@ class Searcher:
         if not terms:
             return self._empty()
         tf = tf_from_segments(self.spark, self.index_dir)
-        dl = (self.spark.read.parquet(self._docs_path)
-              .filter(F.col("doc_len") > 0)
-              .select("doc_id", F.col("doc_len").alias("dl")))
+        dl = self.spark.read.parquet(self._meta_path).select("doc_id", "dl")
         # idf stays corpus-global (ES semantics: filters never change scores),
         # so score first, filter candidates after.
         scored = bm25_score_query(tf, dl, self.stats["n_docs"],

@@ -35,7 +35,7 @@ class PostingIterator:
     """Lazy block-decoding cursor over one (shard, term) posting list."""
 
     __slots__ = ("idf", "avgdl", "block_first", "block_last", "block_count",
-                 "block_off", "block_max", "data", "n_blocks", "bi", "pos",
+                 "block_off", "block_ub", "data", "n_blocks", "bi", "pos",
                  "docs", "tfs", "dls", "exhausted", "term_max")
 
     def __init__(self, row: dict, idf: float, avgdl: float):
@@ -45,10 +45,15 @@ class PostingIterator:
         self.block_last = np.asarray(row["block_last"], dtype=np.int64)
         self.block_count = np.asarray(row["block_count"], dtype=np.int64)
         self.block_off = np.asarray(row["block_off"], dtype=np.int64)
-        self.block_max = np.asarray(row["block_max"], dtype=np.float64)
+        # block upper bounds from the stored impact pairs (max_tf, min_dl):
+        # tfnorm is monotone ↑tf ↓dl, so tfnorm(max_tf, min_dl) ≥ every
+        # posting's tfnorm in the block — avgdl applied at query time
+        self.block_ub = self.idf * tfnorm(
+            np.asarray(row["block_max_tf"], dtype=np.int64),
+            np.asarray(row["block_min_dl"], dtype=np.int64), avgdl)
         self.data = np.frombuffer(row["data"], dtype=np.uint8)
         self.n_blocks = len(self.block_off)
-        self.term_max = self.idf * float(self.block_max.max()) if self.n_blocks else 0.0
+        self.term_max = float(self.block_ub.max()) if self.n_blocks else 0.0
         self.bi = -1
         self.pos = 0
         self.docs = self.tfs = self.dls = None
@@ -69,8 +74,8 @@ class PostingIterator:
 
     @property
     def cur_block_max(self) -> float:
-        """idf · block-max tfnorm of the block the cursor is in."""
-        return self.idf * float(self.block_max[self.bi])
+        """idf · block-max tfnorm bound of the block the cursor is in."""
+        return float(self.block_ub[self.bi])
 
     def cur_score(self) -> float:
         t = float(self.tfs[self.pos]); l = float(self.dls[self.pos])

@@ -130,12 +130,14 @@ def reindex(spark: SparkSession, index_dir: str, out_dir: str,
                                       F.lit(cfg.num_shards)).cast("int")))
 
     dl_df = tf.groupBy("doc_id").agg(F.max("dl").cast("long").alias("dl"))
+    dl_df.write.mode("overwrite").parquet(os.path.join(out_dir, "docs_meta"))
+    dl_df = spark.read.parquet(os.path.join(out_dir, "docs_meta"))
     row = dl_df.agg(F.count(F.lit(1)).alias("n"),
                     F.avg("dl").alias("avgdl")).collect()[0]
     n_docs, avgdl = int(row["n"] or 0), float(row["avgdl"] or 0.0)
 
     man = Manifest(out_dir)
-    seg = _build_segments(tf, avgdl, cfg.term_buckets)
+    seg = _build_segments(tf, cfg.term_buckets)
     seg.write.mode("overwrite").partitionBy("shard").parquet(
         os.path.join(out_dir, "segments", "batch=0"))
     man.commit("segments_b0", shards=list(range(cfg.num_shards)))

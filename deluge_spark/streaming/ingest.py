@@ -80,11 +80,13 @@ def finalize_segments(spark: SparkSession, index_dir: str,
         num_shards = 1 + int(tf.agg(F.max("shard")).collect()[0][0] or 0)
 
     dl_df = tf.groupBy("doc_id").agg(F.max("dl").cast("long").alias("dl"))
+    dl_df.write.mode("overwrite").parquet(os.path.join(index_dir, "docs_meta"))
+    dl_df = spark.read.parquet(os.path.join(index_dir, "docs_meta"))
     row = dl_df.agg(F.count(F.lit(1)).alias("n"),
                     F.avg("dl").alias("avgdl")).collect()[0]
     n_docs, avgdl = int(row["n"] or 0), float(row["avgdl"] or 0.0)
 
-    seg = _build_segments(tf, avgdl)
+    seg = _build_segments(tf)
     seg.write.mode("overwrite").partitionBy("shard").parquet(
         os.path.join(index_dir, "segments", "batch=stream"))
 

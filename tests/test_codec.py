@@ -52,7 +52,7 @@ def test_postings_roundtrip(postings):
     docs = np.array([p[0] for p in postings], dtype=np.int64)
     tfs = np.array([p[1] for p in postings], dtype=np.int64)
     dls = np.array([p[2] for p in postings], dtype=np.int64)
-    enc = encode_postings(docs, tfs, dls, avgdl=50.0)
+    enc = encode_postings(docs, tfs, dls)
     d, t, l = decode_postings(enc)
     assert d.tolist() == docs.tolist()
     assert t.tolist() == tfs.tolist()
@@ -61,11 +61,17 @@ def test_postings_roundtrip(postings):
     assert enc["n_postings"] == len(docs)
     assert enc["block_first"][0] == docs[0]
     assert enc["block_last"][-1] == docs[-1]
-    # block max is a true upper bound of tfnorm within each block
+    # the impact pair (max_tf, min_dl) upper-bounds tfnorm within each
+    # block for ANY avgdl (monotone ↑tf ↓dl)
     for i in range(len(enc["block_off"])):
         s, e = i * BLOCK, min((i + 1) * BLOCK, len(docs))
-        want = tfnorm(tfs[s:e], dls[s:e], 50.0).max()
-        assert enc["block_max"][i] == want
+        assert enc["block_max_tf"][i] == tfs[s:e].max()
+        assert enc["block_min_dl"][i] == dls[s:e].min()
+        for avgdl in (1.0, 50.0, 10_000.0):
+            import numpy as _np
+            ub = tfnorm(_np.array([enc["block_max_tf"][i]]),
+                        _np.array([enc["block_min_dl"][i]]), avgdl)[0]
+            assert ub >= tfnorm(tfs[s:e], dls[s:e], avgdl).max()
 
 
 def test_independent_block_decode():
@@ -73,7 +79,7 @@ def test_independent_block_decode():
     docs = np.arange(0, 5 * n, 5, dtype=np.int64)
     tfs = np.ones(n, dtype=np.int64)
     dls = np.full(n, 10, dtype=np.int64)
-    enc = encode_postings(docs, tfs, dls, avgdl=10.0)
+    enc = encode_postings(docs, tfs, dls)
     # decode only block 1 — fully self-contained given its skip entry
     d, t, l = decode_block(enc["data"], int(enc["block_off"][1]),
                            int(enc["block_count"][1]),
@@ -104,7 +110,7 @@ def test_encode_group_matches_per_term(postings):
     doc = np.array([p[1] for p in postings], dtype=np.int64)
     tf = np.array([p[2] for p in postings], dtype=np.int64)
     dl = np.array([p[3] for p in postings], dtype=np.int64)
-    g = encode_group(idx, doc, tf, dl, avgdl=123.0)
+    g = encode_group(idx, doc, tf, dl)
 
     data = g["data"].tobytes()
     uniq = np.unique(idx)
@@ -112,7 +118,7 @@ def test_encode_group_matches_per_term(postings):
     for ti in range(g["n_terms"]):
         s, e = g["term_pos"][ti], (g["term_pos"][ti + 1]
                                    if ti + 1 < g["n_terms"] else len(idx))
-        ref = encode_postings(doc[s:e], tf[s:e], dl[s:e], avgdl=123.0)
+        ref = encode_postings(doc[s:e], tf[s:e], dl[s:e])
         bs, be = int(g["term_byte_start"][ti]), int(g["term_byte_end"][ti])
         assert data[bs:be] == ref["data"]
         lo, hi = g["term_block_offsets"][ti], g["term_block_offsets"][ti + 1]
@@ -120,14 +126,15 @@ def test_encode_group_matches_per_term(postings):
         assert g["block_last"][lo:hi].tolist() == ref["block_last"].tolist()
         assert g["block_count"][lo:hi].tolist() == ref["block_count"].tolist()
         assert g["block_off"][lo:hi].tolist() == ref["block_off"].tolist()
-        assert g["block_max"][lo:hi].tolist() == ref["block_max"].tolist()
+        assert g["block_max_tf"][lo:hi].tolist() == ref["block_max_tf"].tolist()
+        assert g["block_min_dl"][lo:hi].tolist() == ref["block_min_dl"].tolist()
         assert g["df_local"][ti] == e - s
         assert g["cf_local"][ti] == tf[s:e].sum()
 
 
 def test_unsorted_input_is_sorted():
     docs = np.array([30, 10, 20], dtype=np.int64)
-    enc = encode_postings(docs, np.array([1, 2, 3]), np.array([4, 5, 6]), 5.0)
+    enc = encode_postings(docs, np.array([1, 2, 3]), np.array([4, 5, 6]))
     d, t, l = decode_postings(enc)
     assert d.tolist() == [10, 20, 30]
     assert t.tolist() == [2, 3, 1]

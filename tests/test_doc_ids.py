@@ -25,6 +25,26 @@ def test_doc_ids_stable_across_layouts(spark, corpus_df):
     assert pa.sort_index().equals(pb.sort_index())
 
 
-def test_existing_doc_id_kept(spark):
+def test_existing_doc_id_kept_when_dense(spark):
+    """Dense pre-assigned ids are kept (values untouched) but the frame is
+    range-repartitioned so downstream doc-range grouping holds."""
+    rows = [(i, f"doc {i}") for i in (2, 0, 3, 1)]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    out = assign_doc_ids(df)
+    assert sorted(r["doc_id"] for r in out.collect()) == [0, 1, 2, 3]
+    got = {r["doc_id"]: r["content"] for r in out.collect()}
+    assert got == {i: f"doc {i}" for i in range(4)}
+
+
+def test_existing_doc_id_sparse_rejected(spark):
+    """Sparse/offset ids would silently fall outside every tokenize group
+    (grp = doc_id // step) and corrupt the index — must raise."""
+    import pytest
+
     df = spark.createDataFrame([(5, "x")], "doc_id long, content string")
-    assert assign_doc_ids(df) is df
+    with pytest.raises(ValueError, match="dense"):
+        assign_doc_ids(df)
+    dup = spark.createDataFrame([(0, "x"), (0, "y")],
+                                "doc_id long, content string")
+    with pytest.raises(ValueError, match="dense"):
+        assign_doc_ids(dup)

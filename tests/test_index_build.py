@@ -63,7 +63,11 @@ def test_index_invariants(spark, index_dir, oracle):
     bad = (seg.select("shard", F.explode("block_first").alias("d"))
            .filter(F.pmod("d", F.lit(n_shards)) != F.col("shard")).count())
     assert bad == 0
-    assert docs.filter(F.col("doc_len") > 0).count() == stats["n_docs"]
+    meta = spark.read.parquet(f"{index_dir}/docs_meta")
+    assert meta.count() == stats["n_docs"]
+    # meta dl matches the oracle's per-doc token counts
+    got_dl = {r["doc_id"]: r["dl"] for r in meta.collect()}
+    assert got_dl == dict(oracle.dl)
 
 
 @pytest.mark.parametrize("q", reference_queries(), ids=lambda q: q["query"])
