@@ -107,6 +107,16 @@ def _bw(_) -> float:
     return 2 * 50e6 * n / (time.time() - t0) / 1e9
 
 
+def merge_ceilings(a: dict[int, dict], b: dict[int, dict]) -> dict[int, dict]:
+    """Best-of two ceiling measurements (hypervisor steal makes single
+    readings unreliable — a glitched window once reported 8-proc CPU at 1%
+    of the 2-proc figure, which is physically impossible on this box)."""
+    out = {}
+    for lvl in a:
+        out[lvl] = {k: max(a[lvl][k], b[lvl][k]) for k in a[lvl]}
+    return out
+
+
 def hardware_ceiling(levels: list[int]) -> dict[int, dict]:
     """Per level: pure-CPU throughput (units/s) and aggregate memory
     bandwidth (GB/s) — index building is memory-streaming, so bandwidth is
@@ -158,6 +168,7 @@ def main() -> None:
                              body_scale=body_scale)
         spark.stop()
 
+    hw_pre = hardware_ceiling([lo, hi])   # ceiling sampled in-window,
     runs: dict[int, list[dict]] = {lo: [], hi: []}
     for _ in range(repeats):              # interleave levels to spread noise
         for level in (lo, hi):
@@ -182,9 +193,12 @@ def main() -> None:
     stage_eff = {s: _stage_eff(s) for s in best[lo].get("stages", {})}
     engine_eff = _stage_eff("tokenize_encode", "segments_merge")
 
-    hw = hardware_ceiling([lo, hi])
-    hw_eff = min(hw[hi]["cpu_units_per_s"] / (ratio * hw[lo]["cpu_units_per_s"]),
-                 hw[hi]["mem_bw_gbs"] / (ratio * hw[lo]["mem_bw_gbs"]))
+    hw = merge_ceilings(hw_pre, hardware_ceiling([lo, hi]))  # before+after
+    # ceiling = CPU burn only: the memcpy aggregate on this virtualized box
+    # swings >10× run-to-run under hypervisor steal (5.8 vs 36-88 GB/s
+    # observed the same day), so it cannot serve as a denominator; it is
+    # still reported as informational context below.
+    hw_eff = hw[hi]["cpu_units_per_s"] / (ratio * hw[lo]["cpu_units_per_s"])
     hw_eff = min(hw_eff, 1.0)
     # the build can legitimately beat the memcpy ceiling (cache locality);
     # cap at 1 so the normalized figure stays interpretable
@@ -229,16 +243,23 @@ and driver-synchronized stat jobs — per-node constants on a real cluster
 (each executor writes to its own disks; the commit is O(files), not O(data));
 the engine dataflow is the component whose scaling predicts N→4N executors.
 
-**Hardware ceiling on this box** (multiprocessing burn + memcpy, best of 3):
-CPU {hw[lo]['cpu_units_per_s']:.1f} → {hw[hi]['cpu_units_per_s']:.1f} units/s,
-memory bandwidth {hw[lo]['mem_bw_gbs']:.1f} → {hw[hi]['mem_bw_gbs']:.1f} GB/s
-({lo} → {hi} procs) → max attainable eff = **{hw_eff:.3f}**.
-Index building is memory-streaming; on this box aggregate bandwidth rises
-roughly linearly to 8 concurrent processes and then COLLAPSES (measured
-88.5 GB/s @ 8 procs → 24.5 GB/s @ 32 — virtualization/LLC contention), so
-the honest two-level comparison runs at {lo} vs {hi} cores where the
-hardware itself can scale; a real N→4N *cluster* adds bandwidth, disk and
-network linearly with executors, which one box cannot emulate.
+**Hardware ceiling on this box** (pure-CPU multiprocessing burn, sampled
+before AND after the builds, best taken): {hw[lo]['cpu_units_per_s']:.1f} →
+{hw[hi]['cpu_units_per_s']:.1f} units/s ({lo} → {hi} procs) → max attainable
+eff = **{hw_eff:.3f}**. Informational: memcpy aggregate measured
+{hw[lo]['mem_bw_gbs']:.1f} → {hw[hi]['mem_bw_gbs']:.1f} GB/s in the same
+windows, but bandwidth readings on this virtualized box swing >10×
+run-to-run under hypervisor steal (36–88 GB/s observed in other windows the
+same day), so they are not used as a denominator. The two-level comparison
+runs at {lo} vs {hi} cores because beyond 8 concurrent streaming processes
+this box's aggregate bandwidth collapses (88.5 GB/s @ 8 → 24.5 GB/s @ 32);
+a real N→4N *cluster* adds bandwidth, disk and network linearly with
+executors, which one box cannot emulate.
+
+Run-to-run variance on this box is large (hypervisor steal): per-run
+docs/sec @ {lo} cores {[r['docs_per_sec'] for r in runs[lo]]}, @ {hi}
+cores {[r['docs_per_sec'] for r in runs[hi]]}; the protocol is interleaved
+repeats, best-of per level (both levels benefit equally).
 
 **Hardware-normalized efficiency** = eff / ceiling = **{norm:.3f}**
 (the fraction of attainable scaling the engine captures; north-rule target

@@ -1,0 +1,72 @@
+"""Physical-plan audits: the properties that make the engine survive 100×.
+
+These assert on the optimized/physical plan text, not on results:
+- query-term predicates reach the segment parquet scan (PushedFilters),
+- the scan reads only the columns the stage needs (ReadSchema pruning),
+- keyword-filter predicates reach the docs scan in the distributed
+  filtered path,
+- the BM25 dataframe path broadcasts the (tiny) idf side.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from deluge_spark.index.build import BuildConfig, build_index, read_segments
+from deluge_spark.index.search import Searcher
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, corpus_df, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("plan_idx"))
+    build_index(spark, corpus_df, d,
+                BuildConfig(num_shards=4, tokenize_groups=1, shard_batches=1))
+    return d
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_term_filter_pushed_to_segment_scan(spark, index_dir):
+    seg = read_segments(spark, index_dir).filter(
+        F.col("term").isin(["import", "return"]))
+    plan = _physical(seg)
+    assert "PushedFilters" in plan
+    assert "In(term" in plan or "EqualTo(term" in plan, plan
+
+
+def test_segment_scan_prunes_columns(spark, index_dir):
+    # the WAND fetch needs the skip table + data, never the stats columns
+    seg = (read_segments(spark, index_dir)
+           .select("shard", "term", "block_first", "block_last",
+                   "block_count", "block_off", "block_max_tf",
+                   "block_min_dl", "data")
+           .filter(F.col("term") == "import"))
+    plan = _physical(seg)
+    rs = plan.split("ReadSchema:", 1)[1].split("\n", 1)[0]
+    # Spark truncates the schema string; the pruned scan must START at the
+    # needed columns — stats columns (df_local/cf_local/n_postings/max_tf/
+    # min_dl) come first in the file schema, so their absence at the front
+    # proves pruning
+    assert rs.lstrip().startswith("struct<term:string,block_first"), rs
+    assert "cf_local" not in rs and "n_postings" not in rs, rs
+
+
+def test_keyword_filter_pushed_to_docs_scan(spark, index_dir):
+    s = Searcher(spark, index_dir)
+    out = s.search("import return", 5, filters={"lang": "python"},
+                   mode="distributed")
+    plan = _physical(out)
+    # the docs side of the cogroup scans only (shard, doc_id) + pushed lang
+    assert "EqualTo(lang,python)" in plan, plan
+    docs_scan = [ln for ln in plan.splitlines()
+                 if "docs]" in ln or ("docs" in ln and "ReadSchema" in ln)]
+    assert any("content" not in ln for ln in docs_scan)
+
+
+def test_dataframe_path_broadcasts_idf(spark, index_dir):
+    s = Searcher(spark, index_dir)
+    plan = _physical(s.search_dataframe("import return", 5))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
