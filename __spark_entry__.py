@@ -306,6 +306,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.sum(F.length("text")).cast("long").alias("bytes"))
     q["source_summary"] = source_summary
 
+    # --- relational analytics over the star schema -----------------------
+    # Classic TPC-H-shaped queries on the driver's fixture tables — the
+    # general-analytics surface of the engine (pure DataFrame; Catalyst
+    # broadcasts the dims and pushes the date/segment predicates to the
+    # scans, asserted in tests/test_plan_audit.py style). Money math runs
+    # in DECIMAL so the aggregate is EXACT and engine-order-independent,
+    # then casts to double for a stable comparison hash.
+    def _dec(c):
+        return F.col(c).cast("decimal(18,4)")
+
+    def tpch_q1(s, d):
+        li = s.read.parquet(f"{d}/lineitem.parquet")
+        disc = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)")
+                                          - _dec("l_discount"))
+        return (li.filter(F.col("l_shipdate") <= "2000-12-01")
+                .groupBy("l_returnflag", "l_linestatus")
+                .agg(F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+                     F.sum(_dec("l_extendedprice")).cast("double")
+                     .alias("sum_base_price"),
+                     F.sum(disc).cast("double").alias("sum_disc_price"),
+                     F.count(F.lit(1)).cast("long").alias("count_order"))
+                .orderBy("l_returnflag", "l_linestatus"))
+    q["tpch_q1_pricing_summary"] = tpch_q1
+
+    def tpch_q3(s, d):
+        cu = s.read.parquet(f"{d}/customer.parquet")
+        o = s.read.parquet(f"{d}/orders.parquet")
+        li = s.read.parquet(f"{d}/lineitem.parquet")
+        rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)")
+                                         - _dec("l_discount"))
+        return (li.filter(F.col("l_shipdate") > "1999-03-15")
+                .join(o.filter(F.col("o_orderdate") < "1999-03-15"),
+                      F.col("l_orderkey") == F.col("o_orderkey"))
+                .join(F.broadcast(cu.filter(
+                    F.col("c_mktsegment") == "BUILDING")),
+                    F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+                .groupBy("l_orderkey",
+                         F.date_format("o_orderdate", "yyyy-MM-dd")
+                         .alias("o_orderdate"))
+                .agg(F.sum(rev).cast("double").alias("revenue"))
+                .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+                .limit(10))
+    q["tpch_q3_shipping_priority"] = tpch_q3
+
+    def tpch_q5(s, d):
+        cu = s.read.parquet(f"{d}/customer.parquet")
+        o = s.read.parquet(f"{d}/orders.parquet")
+        li = s.read.parquet(f"{d}/lineitem.parquet")
+        su = s.read.parquet(f"{d}/supplier.parquet")
+        na = s.read.parquet(f"{d}/nation.parquet")
+        rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)")
+                                         - _dec("l_discount"))
+        return (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+                .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+                .join(F.broadcast(su),
+                      (F.col("l_suppkey") == F.col("s_suppkey"))
+                      & (F.col("c_nationkey") == F.col("s_nationkey")))
+                .join(F.broadcast(na),
+                      F.col("s_nationkey") == F.col("n_nationkey"))
+                .groupBy("n_name")
+                .agg(F.sum(rev).cast("double").alias("revenue"))
+                .orderBy(F.col("revenue").desc(), F.col("n_name").asc()))
+    q["tpch_q5_local_volume"] = tpch_q5
+
     # --- dedup family ----------------------------------------------------
     q["dedup_exact_groups"] = lambda s, d: exact_dedup_groups(_docs(s, d))
     # exact all-pairs oracle baseline (quadratic — kept as the oracle)
@@ -428,6 +492,50 @@ FROM s GROUP BY user_id, sid
     o["source_summary"] = """
 SELECT CAST(count(*) AS BIGINT) AS docs,
        CAST(sum(length(text)) AS BIGINT) AS bytes FROM documents
+"""
+    o["tpch_q1_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+         AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(18,4))
+                   - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+         AS sum_disc_price,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+    o["tpch_q3_shipping_priority"] = """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(18,4))
+                   - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+         AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > TIMESTAMP '1999-03-15'
+  AND o_orderdate < TIMESTAMP '1999-03-15'
+  AND o_custkey IN (SELECT c_custkey FROM customer
+                    WHERE c_mktsegment = 'BUILDING')
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+    o["tpch_q5_local_volume"] = """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(18,4))
+                   - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+         AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
 """
     o["dedup_exact_groups"] = """
 SELECT md5(text) AS content_hash, CAST(count(*) AS BIGINT) AS n_docs,
