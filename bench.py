@@ -81,7 +81,8 @@ def main() -> None:
     timings["index_build"] = round(build_s, 4)
     build_stages = bm.get("stages", {})
 
-    searcher = Searcher(spark, idx, cache_stats=True, cache_segments=True)
+    searcher = Searcher(spark, idx, cache_stats=True, cache_segments=True,
+                        term_cache_size=512)
     searcher.search_local("warmup query", 10)  # JIT/cache warm
     lat = []
     for name, qtext, k in BENCH_QUERIES:
@@ -90,6 +91,16 @@ def main() -> None:
         dt = time.time() - t0
         timings[name] = round(dt, 4)
         lat.append(dt)
+    # repeat of the first query: all terms now in the driver LRU → zero
+    # Spark jobs (the ES/Lucene query-cache serving profile)
+    t0 = time.time()
+    searcher.search_local(BENCH_QUERIES[0][1], BENCH_QUERIES[0][2])
+    timings["q_multi_cached"] = round(time.time() - t0, 4)
+    # cached + vectorized TAAT: the full in-memory serving profile
+    t0 = time.time()
+    searcher.search_local(BENCH_QUERIES[0][1], BENCH_QUERIES[0][2],
+                          algo="taat")
+    timings["q_multi_cached_taat"] = round(time.time() - t0, 4)
     # DataFrame-materialization path timed once for reference
     t0 = time.time()
     searcher.search(BENCH_QUERIES[0][1], 10, mode="distributed").collect()

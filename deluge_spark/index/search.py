@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import math
 import os
+from collections import OrderedDict
 
 import numpy as np
 import pandas as pd
@@ -40,7 +41,7 @@ from pyspark.sql import functions as F
 
 from deluge_spark.functions.tokenizer import tokenize_py
 from deluge_spark.index.build import read_global_stats, read_segments
-from deluge_spark.index.wand import PostingIterator, wand_top_k
+from deluge_spark.index.wand import PostingIterator, taat_top_k, wand_top_k
 
 RESULT_SCHEMA = "doc_id long, score double"
 
@@ -54,17 +55,25 @@ class Searcher:
                  local_postings_cap: int = 5_000_000,
                  filter_ids_cap: int = 2_000_000,
                  cache_stats: bool = True,
-                 cache_segments: bool = False):
+                 cache_segments: bool = False,
+                 term_cache_size: int = 0):
         """``cache_stats`` pulls the (small) term→df table to the driver once
         — the coordinating-node dictionary. ``cache_segments`` persists the
         segment DataFrame in cluster memory (interactive serving mode; leave
-        off for one-shot batch queries over huge indexes)."""
+        off for one-shot batch queries over huge indexes).
+        ``term_cache_size`` > 0 enables a driver-side LRU over per-term
+        segment rows (the Lucene/ES query-cache analog): coordinator-mode
+        queries whose terms are cached run with ZERO Spark jobs. Memory is
+        ~5 B/posting per cached term (compressed blocks, skip arrays) —
+        size it by term count against the expected hot-term df."""
         self.spark = spark
         self.index_dir = index_dir
         self.stats = read_global_stats(index_dir)
         self.mode = self.stats.get("tokenizer_mode", "code")
         self.local_postings_cap = local_postings_cap
         self.filter_ids_cap = filter_ids_cap
+        self.term_cache_size = term_cache_size
+        self._term_cache: OrderedDict[str, list[dict]] = OrderedDict()
         self._terms_path = os.path.join(index_dir, "stats", "terms")
         self._docs_path = os.path.join(index_dir, "docs")
         self._meta_path = os.path.join(index_dir, "docs_meta")
@@ -126,24 +135,65 @@ class Searcher:
                 "or mode='dataframe'")
         return np.sort(np.array([r["doc_id"] for r in ids], dtype=np.int64))
 
+    def _fetch_term_rows(self, terms: list[str]) -> list[dict]:
+        """Segment rows for ``terms``, through the LRU term cache when
+        enabled: only cache-miss terms hit Spark (one filtered collect),
+        fully-cached queries run with no job at all."""
+        if self.term_cache_size <= 0:
+            seg = self._segments().filter(F.col("term").isin(terms))
+            return [r.asDict() for r in seg.collect()]
+        missing = [t for t in terms if t not in self._term_cache]
+        fetched: dict[str, list[dict]] = {}
+        if missing:
+            seg = self._segments().filter(F.col("term").isin(missing))
+            fetched = {t: [] for t in missing}
+            for r in seg.collect():
+                fetched[r["term"]].append(r.asDict())
+        # answer from cache+fetched FIRST — results never depend on eviction
+        rows: list[dict] = []
+        for t in terms:
+            if t in fetched:
+                rows.extend(fetched[t])
+            elif t in self._term_cache:
+                self._term_cache.move_to_end(t)
+                rows.extend(self._term_cache[t])
+        for t, rs in fetched.items():
+            self._term_cache[t] = rs
+        while len(self._term_cache) > self.term_cache_size:
+            self._term_cache.popitem(last=False)
+        return rows
+
     # -- public API -------------------------------------------------------
     def search_local(self, query: str, k: int = 10,
                      filters: dict[str, str] | None = None,
-                     round_dp: int = 9) -> list[tuple[int, float]]:
+                     round_dp: int = 9,
+                     algo: str = "wand",
+                     taat_cap: int = 100_000) -> list[tuple[int, float]]:
         """Coordinator-mode search returning a driver-side list — the
         serving-path latency (one Spark job: fetch matched segment rows).
         Same results as ``search(mode='coordinator')`` without the
-        result-DataFrame materialization round-trip."""
+        result-DataFrame materialization round-trip.
+
+        ``algo``: 'wand' (block-max DAAT, default), 'taat' (vectorized
+        exhaustive — faster when matched postings are few), or 'auto'
+        (taat when Σdf ≤ ``taat_cap``, else wand — Lucene's cost-based
+        pick). All produce the identical ranking."""
         terms = list(dict.fromkeys(tokenize_py(query, self.mode)))
         if not terms:
             return []
-        idfs = self._term_idfs(terms)
-        if not idfs:
+        dfs = self._term_dfs(terms)
+        if not dfs:
             return []
+        idfs = {t: idf(self.stats["n_docs"], d) for t, d in dfs.items()}
         avgdl = float(self.stats["avgdl"])
         allowed = self._allowed_ids(filters)
-        seg = self._segments().filter(F.col("term").isin(list(idfs)))
-        rows = [r.asDict() for r in seg.collect()]
+        rows = self._fetch_term_rows(list(idfs))
+        if algo == "auto":
+            algo = "taat" if sum(dfs.values()) <= taat_cap else "wand"
+        if algo == "taat":
+            return taat_top_k(rows, idfs, avgdl, k, round_dp, allowed)
+        if algo != "wand":
+            raise ValueError(f"unknown algo: {algo}")
         by_shard: dict[int, list[dict]] = {}
         for r in rows:
             by_shard.setdefault(int(r["shard"]), []).append(r)

@@ -110,6 +110,57 @@ class PostingIterator:
                 self._enter_block(self.bi + 1)
 
 
+def taat_top_k(
+    lists: list[dict],
+    idfs: dict[str, float],
+    avgdl: float,
+    k: int,
+    round_dp: int = 9,
+    allowed: np.ndarray | None = None,
+) -> list[tuple[int, float]]:
+    """Vectorized term-at-a-time exhaustive scoring — the cheap-query path.
+
+    When the matched posting volume is small, decoding everything and
+    aggregating with numpy beats the Python document-at-a-time WAND loop by
+    ~10× (the loop costs ~10 µs/posting; vectorized decode+reduceat costs
+    ~0.1 µs). Lucene makes the same choice (exhaustive scoring below a cost
+    threshold). Same ranking contract: (round(score, dp) desc, doc_id asc),
+    exact float64 scores.
+
+    ``lists``: segment rows (dicts) across ALL shards — TAAT aggregates
+    globally, no per-shard split needed.
+    """
+    from deluge_spark.index.codec import decode_postings
+
+    docs_l, contrib_l = [], []
+    for row in lists:
+        d, t, l = decode_postings(row)
+        if not len(d):
+            continue
+        docs_l.append(d)
+        contrib_l.append(idfs[row["term"]] * tfnorm(t, l, avgdl))
+    if not docs_l:
+        return []
+    docs = np.concatenate(docs_l)
+    contrib = np.concatenate(contrib_l)
+    order = np.argsort(docs, kind="stable")
+    d = docs[order]
+    c = contrib[order]
+    starts = np.flatnonzero(np.diff(d, prepend=d[0] - 1))
+    uids = d[starts]
+    sums = np.add.reduceat(c, starts)
+    if allowed is not None:
+        j = np.searchsorted(allowed, uids)
+        ok = (j < len(allowed)) & (allowed[np.minimum(j, len(allowed) - 1)]
+                                   == uids)
+        uids, sums = uids[ok], sums[ok]
+    if not len(uids):
+        return []
+    r = np.round(sums, round_dp)
+    top = np.lexsort((uids, -r))[:k]
+    return [(int(uids[i]), float(sums[i])) for i in top]
+
+
 def wand_top_k(
     lists: list[PostingIterator],
     k: int,

@@ -140,6 +140,55 @@ def test_auto_mode_decides_without_spark_job(spark, index_dir):
         "— the mode decision must not launch its own aggregate job")
 
 
+@pytest.mark.parametrize("q", reference_queries(), ids=lambda q: q["query"])
+def test_taat_matches_wand(spark, index_dir, oracle, q):
+    """The vectorized exhaustive scorer must rank identically to block-max
+    WAND (and hence the oracle) — scores exact to float tolerance."""
+    s = Searcher(spark, index_dir)
+    want = oracle.top_k(tokenize_py(q["query"], "code"), q["k"], round_dp=9)
+    got = s.search_local(q["query"], q["k"], algo="taat")
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (d1, s1), (_, s2) in zip(got, want):
+        assert s1 == pytest.approx(s2, rel=1e-9)
+    auto = s.search_local(q["query"], q["k"], algo="auto")
+    assert auto == got
+
+
+def test_taat_with_filter(spark, index_dir, oracle):
+    s = Searcher(spark, index_dir)
+    docs = spark.read.parquet(f"{index_dir}/docs")
+    py_ids = {r["doc_id"] for r in
+              docs.filter(F.col("lang") == "python").select("doc_id").collect()}
+    want = oracle.top_k(["import", "return"], 10, filter_ids=py_ids, round_dp=9)
+    got = s.search_local("import return", 10, filters={"lang": "python"},
+                         algo="taat")
+    assert [d for d, _ in got] == [d for d, _ in want]
+
+
+def test_term_cache_identical_results_and_zero_job_hits(spark, index_dir):
+    """The driver-side term LRU must never change results (including under
+    eviction churn with cache smaller than the query) and a fully-cached
+    query must run without any Spark job."""
+    plain = Searcher(spark, index_dir, term_cache_size=0)
+    cached = Searcher(spark, index_dir, term_cache_size=2)
+    queries = ["import return table", "getHTTPResponse", "import return",
+               "rareterm0 import", "import return table"]  # churn + repeats
+    for q in queries:
+        assert cached.search_local(q, 10) == plain.search_local(q, 10), q
+    # warm exactly one query's terms, then re-ask: zero jobs
+    big = Searcher(spark, index_dir, term_cache_size=8)
+    big.search_local("import return", 10)
+    want = plain.search_local("import return", 10)
+    tracker = spark.sparkContext.statusTracker()
+    spark.sparkContext.setJobGroup("cache_probe", "cached repeat")
+    try:
+        got = big.search_local("import return", 10)
+    finally:
+        spark.sparkContext.setJobGroup("", "")
+    assert got == want
+    assert len(tracker.getJobIdsForGroup("cache_probe") or []) == 0
+
+
 def test_fetch_fields(spark, index_dir):
     s = Searcher(spark, index_dir)
     got = s.search("rareterm0", 5, fetch=True).collect()
