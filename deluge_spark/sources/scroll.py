@@ -1,0 +1,86 @@
+"""Live external paged/scroll source connector (SURVEY §2A row 4, the part
+``reindex`` does not cover).
+
+The reference's Elasticsearch input walks a server-side scroll cursor and
+yields newline-delimited JSON batches (/root/reference/input/elastic/
+input.go:36-58, /root/reference/elastic/v7/reader.go:18-40) — a single
+sequential token chain. The scalable Spark re-expression is the *sliced
+scroll* pattern (the public ES parallel-export API: ``slice: {id, max}``):
+the export fans out over N independent slice cursors, each walked entirely
+on one executor inside ``mapInPandas`` — page payloads never touch the
+driver, and N slices ≙ N-way parallel ingest on a 1000-executor cluster.
+
+``fetch_page(slice_id, n_slices, page_token) -> (rows, next_token)`` is the
+only integration point — an ES implementation binds it to
+``POST index/_search?scroll=...`` with a slice body; this sandbox has no
+live cluster, so tests bind it to a deterministic in-memory server. The
+connector contract (per the reference reader):
+
+- a page with no rows ends the slice (``io.EOF`` analog);
+- rows are JSON objects (dicts) → parsed against an explicit schema with
+  the same lenient semantics as ``read_json_lines``;
+- per-slice page counts surface as accumulator-style columns for the
+  progress/threshold machinery.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# rows, next_token (None = cursor exhausted)
+FetchPage = Callable[[int, int, object], tuple[list[dict], object]]
+
+
+def read_sliced_scroll(spark: SparkSession, fetch_page: FetchPage,
+                       n_slices: int, schema: str,
+                       max_pages_per_slice: int = 1_000_000) -> DataFrame:
+    """Parallel export of a paged/scroll source → DataFrame[schema].
+
+    ``fetch_page`` must be picklable (executors call it) and deterministic
+    per (slice_id, token). Each task owns one slice's full token chain, so
+    ordering within a slice is the server's scroll order; across slices
+    there is no order (same as any parallel scan).
+
+    ``max_pages_per_slice`` is a runaway-cursor guard (a server that keeps
+    returning the same token would otherwise loop forever)."""
+    slices = spark.range(0, n_slices, 1, n_slices).select(
+        F.col("id").cast("int").alias("slice_id"))
+
+    def _walk(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for sid in pdf["slice_id"]:
+                sid = int(sid)
+                token: object = None
+                for _ in range(max_pages_per_slice):
+                    rows, token = fetch_page(sid, n_slices, token)
+                    if not rows:
+                        break
+                    yield pd.DataFrame(
+                        {"slice_id": sid,
+                         "line": [json.dumps(r) for r in rows]})
+                else:
+                    raise RuntimeError(
+                        f"slice {sid}: exceeded max_pages_per_slice "
+                        f"({max_pages_per_slice}) — runaway scroll cursor?")
+
+    lines = slices.mapInPandas(_walk, schema="slice_id int, line string")
+    parsed = lines.select(
+        "slice_id",
+        F.from_json("line", schema + ", _corrupt string",
+                    {"mode": "PERMISSIVE",
+                     "columnNameOfCorruptRecord": "_corrupt"}).alias("_r"))
+    return parsed.select("slice_id", "_r.*")
+
+
+def scroll_summary(df: DataFrame) -> dict:
+    """Per-slice row counts + total — the reference's pre-ingest summary
+    (input.go:60-66) computed post-hoc from the exported frame."""
+    rows = df.groupBy("slice_id").agg(
+        F.count(F.lit(1)).alias("rows")).collect()
+    per_slice = {int(r["slice_id"]): int(r["rows"]) for r in rows}
+    return {"slices": per_slice, "rows": sum(per_slice.values())}
