@@ -267,14 +267,20 @@ class Searcher:
         """
         sc = self.spark.sparkContext
         b_idfs = sc.broadcast(idfs)
+        taat_cap = 100_000
 
         def _shard_wand(seg_pdf: pd.DataFrame,
                         allowed: np.ndarray | None) -> pd.DataFrame:
-            its = [
-                PostingIterator(row, b_idfs.value[row["term"]], avgdl)
-                for row in seg_pdf.to_dict("records")
-            ]
-            top = wand_top_k(its, k, round_dp, allowed)
+            rows = seg_pdf.to_dict("records")
+            # cost-based pick per shard (same ranking either way): few
+            # matched postings → vectorized exhaustive beats the DAAT loop
+            if int(seg_pdf["n_postings"].sum()) <= taat_cap:
+                top = taat_top_k(rows, b_idfs.value, avgdl, k, round_dp,
+                                 allowed)
+            else:
+                its = [PostingIterator(row, b_idfs.value[row["term"]], avgdl)
+                       for row in rows]
+                top = wand_top_k(its, k, round_dp, allowed)
             return pd.DataFrame(
                 {"doc_id": [d for d, _ in top],
                  "score": [s for _, s in top]})
