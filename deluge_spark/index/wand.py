@@ -150,6 +150,8 @@ def taat_top_k(
     uids = d[starts]
     sums = np.add.reduceat(c, starts)
     if allowed is not None:
+        if not len(allowed):
+            return []
         j = np.searchsorted(allowed, uids)
         ok = (j < len(allowed)) & (allowed[np.minimum(j, len(allowed) - 1)]
                                    == uids)

@@ -57,3 +57,18 @@ def test_fuzz_rank_identity(setup):
             f"trial={trial} terms={terms} k={k} lang={lang}"
         for (d1, s1), (d2, s2) in zip(got, want):
             assert s1 == pytest.approx(s2, rel=1e-9)
+        # the vectorized exhaustive scorer must agree on every trial
+        # (rank-identical; scores to float-summation-order tolerance)
+        got_taat = searcher.search_local(" ".join(terms), k, filters,
+                                         algo="taat")
+        assert [d for d, _ in got_taat] == [d for d, _ in got], \
+            f"taat diverged: trial={trial} terms={terms}"
+        for (_, s1), (_, s2) in zip(got_taat, got):
+            assert s1 == pytest.approx(s2, rel=1e-12)
+        if trial % 10 == 0:
+            # periodically push the same query through the distributed
+            # executor (per-shard cost pick + cogroup filters)
+            got_dist = searcher.search(" ".join(terms), k, filters,
+                                       mode="distributed").collect()
+            assert [r.doc_id for r in got_dist] == [d for d, _ in want], \
+                f"distributed diverged: trial={trial} terms={terms}"
