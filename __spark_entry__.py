@@ -56,14 +56,28 @@ def _tf(docs: DataFrame) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("tf")))
 
 
+# per-(session, sf_dir) cached tf/dl/stats: the five DataFrame-twin BM25
+# queries share one tokenize pass instead of re-deriving it per query
+_TF_CACHE: dict[tuple[int, str], tuple[DataFrame, DataFrame, int, float]] = {}
+
+
+def _tf_dl_stats(spark: SparkSession, sf_dir: str):
+    key = (id(spark.sparkContext), sf_dir)
+    if key not in _TF_CACHE:
+        tf = _tf(_docs(spark, sf_dir)).cache()
+        dl = tf.groupBy("doc_id").agg(
+            F.sum("tf").cast("long").alias("dl")).cache()
+        stats = dl.agg(F.count(F.lit(1)).alias("n"),
+                       F.avg("dl").alias("avgdl")).collect()[0]
+        _TF_CACHE[key] = (tf, dl, int(stats["n"]), float(stats["avgdl"]))
+    return _TF_CACHE[key]
+
+
 def _bm25(spark: SparkSession, sf_dir: str, query: str, k: int,
           lang: str | None = None) -> DataFrame:
     docs = _docs(spark, sf_dir)
     terms = list(dict.fromkeys(tokenize_py(query, "code")))
-    tf = _tf(docs)
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
-    stats = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
-    n, avgdl = int(stats["n"]), float(stats["avgdl"])
+    tf, dl, n, avgdl = _tf_dl_stats(spark, sf_dir)
     m = tf.filter(F.col("term").isin(terms))
     idf = (m.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
            .select("term", F.log(1.0 + (F.lit(float(n)) - F.col("df") + 0.5)
@@ -212,7 +226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_topk_missing"] = lambda s, d: _bm25(s, d, "zzzabsentterm", 10)
 
     def term_stats(s, d):
-        tf = _tf(_docs(s, d))
+        tf, _, _, _ = _tf_dl_stats(s, d)
         return (tf.groupBy("term")
                 .agg(F.count(F.lit(1)).cast("long").alias("df"),
                      F.sum("tf").cast("long").alias("cf"))
@@ -220,16 +234,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["term_stats_top50"] = term_stats
 
     def corpus_stats(s, d):
-        tf = _tf(_docs(s, d))
-        dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+        _, dl, _, _ = _tf_dl_stats(s, d)
         return dl.agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
                       F.round(F.avg("dl"), 6).alias("avgdl"),
                       F.sum("dl").cast("long").alias("total_tokens"))
     q["corpus_stats"] = corpus_stats
 
     def doc_lengths(s, d):
-        return (_tf(_docs(s, d)).groupBy("doc_id")
-                .agg(F.sum("tf").cast("long").alias("dl")))
+        _, dl, _, _ = _tf_dl_stats(s, d)
+        return dl
     q["doc_lengths"] = doc_lengths
 
     # --- reference ingestion semantics (SURVEY §2A) ---------------------
