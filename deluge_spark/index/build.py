@@ -460,25 +460,24 @@ def tf_from_segments(spark: SparkSession, index_dir: str) -> DataFrame:
     import pyarrow as pa
 
     seg = read_segments(spark, index_dir).select(
-        "term", "block_first", "block_count", "block_off", "data")
+        "term", "block_first", "block_last", "block_count", "block_off",
+        "data")
 
     def _dec(it):
-        from deluge_spark.index.codec import decode_block
+        from deluge_spark.index.codec import decode_list
 
         for batch in it:
             terms_out, docs_out, tfs_out, dls_out = [], [], [], []
             tbl = pa.Table.from_batches([batch])
             for row in range(tbl.num_rows):
-                data = tbl.column("data")[row].as_py()
-                bf = tbl.column("block_first")[row].as_py()
-                bc = tbl.column("block_count")[row].as_py()
-                bo = tbl.column("block_off")[row].as_py()
-                term = tbl.column("term")[row].as_py()
-                for i in range(len(bo)):
-                    d, t, l = decode_block(data, int(bo[i]), int(bc[i]),
-                                           int(bf[i]))
-                    docs_out.append(d); tfs_out.append(t); dls_out.append(l)
-                    terms_out.extend([term] * len(d))
+                d, t, l = decode_list(
+                    tbl.column("data")[row].as_py(),
+                    tbl.column("block_off")[row].as_py(),
+                    tbl.column("block_count")[row].as_py(),
+                    tbl.column("block_first")[row].as_py(),
+                    tbl.column("block_last")[row].as_py())
+                docs_out.append(d); tfs_out.append(t); dls_out.append(l)
+                terms_out.extend([tbl.column("term")[row].as_py()] * len(d))
             if not docs_out:
                 continue
             yield pa.RecordBatch.from_pydict({

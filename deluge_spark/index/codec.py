@@ -300,16 +300,67 @@ def decode_block(data: bytes | np.ndarray, off: int, count: int,
     return docs, tfs, dls
 
 
-def decode_postings(enc: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Full decode (tests / TAAT fallback)."""
-    docs, tfs, dls = [], [], []
-    buf = np.frombuffer(enc["data"], dtype=np.uint8)
-    for i in range(len(enc["block_off"])):
-        d, t, l = decode_block(buf, int(enc["block_off"][i]),
-                               int(enc["block_count"][i]),
-                               int(enc["block_first"][i]))
-        docs.append(d); tfs.append(t); dls.append(l)
-    if not docs:
-        z = np.empty(0, dtype=np.int64)
+def decode_list(data: bytes | np.ndarray, block_off, block_count,
+                block_first, block_last=None
+                ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode an ENTIRE posting list in one vectorized pass → (docs, tfs,
+    dls). One ``varint_decode`` call for all blocks (blocks are packed
+    contiguously), then pure index arithmetic reconstructs the per-block
+    [gaps×(c−1), tf×c, dl×c] layout — the exact inverse of
+    ``encode_group``'s scatter. ~10× faster than per-block ``decode_block``
+    calls for long lists (the TAAT / reindex / cross-check hot path).
+
+    ``block_last`` (skip table) lets doc reconstruction run as ONE global
+    cumsum: the first delta of block b is ``block_first[b] −
+    block_last[b−1]``; without it the per-block bases are applied via
+    segment offsets (slightly slower). Falls back to empty output for
+    zero blocks."""
+    off = np.asarray(block_off, dtype=np.int64)
+    cnt = np.asarray(block_count, dtype=np.int64)
+    first = np.asarray(block_first, dtype=np.int64)
+    n_blocks = len(cnt)
+    z = np.empty(0, dtype=np.int64)
+    if n_blocks == 0:
         return z, z.copy(), z.copy()
-    return np.concatenate(docs), np.concatenate(tfs), np.concatenate(dls)
+    buf = (np.frombuffer(data, dtype=np.uint8)
+           if isinstance(data, (bytes, bytearray)) else data)
+    total = int(cnt.sum())
+    n_vals = 3 * total - n_blocks
+    vals, _ = varint_decode(buf, count=n_vals, offset=int(off[0]))
+    vals = vals.astype(np.int64)
+
+    vstart = np.zeros(n_blocks, dtype=np.int64)      # value idx of block b
+    np.cumsum(3 * cnt[:-1] - 1, out=vstart[1:])
+    pstart = np.zeros(n_blocks, dtype=np.int64)      # posting idx of block b
+    np.cumsum(cnt[:-1], out=pstart[1:])
+    bid = np.repeat(np.arange(n_blocks, dtype=np.int64), cnt)
+    ordb = np.arange(total, dtype=np.int64) - pstart[bid]
+
+    tfs = vals[vstart[bid] + (cnt[bid] - 1) + ordb]
+    dls = vals[vstart[bid] + (2 * cnt[bid] - 1) + ordb]
+
+    # docs via one global cumsum: delta at each block start re-bases to
+    # block_first (gap from the previous block's last doc, or absolute)
+    delta = np.empty(total, dtype=np.int64)
+    nz = ordb > 0
+    delta[nz] = vals[(vstart[bid] + ordb - 1)[nz]]
+    if block_last is not None:
+        last = np.asarray(block_last, dtype=np.int64)
+        base = np.empty(n_blocks, dtype=np.int64)
+        base[0] = first[0]
+        base[1:] = first[1:] - last[:-1]
+        delta[pstart] = base
+        docs = np.cumsum(delta)
+    else:
+        delta[pstart] = 0
+        docs = np.cumsum(delta)
+        # re-base each block: subtract the running prefix at block start,
+        # add block_first
+        docs += (first - docs[pstart])[bid]
+    return docs, tfs, dls
+
+
+def decode_postings(enc: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Full decode of one encoded posting list (vectorized whole-list)."""
+    return decode_list(enc["data"], enc["block_off"], enc["block_count"],
+                       enc["block_first"], enc.get("block_last"))

@@ -132,6 +132,36 @@ def test_encode_group_matches_per_term(postings):
         assert g["cf_local"][ti] == tf[s:e].sum()
 
 
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**12),
+            st.integers(min_value=1, max_value=1000),
+            st.integers(min_value=1, max_value=100_000),
+        ),
+        min_size=1, max_size=700,
+        unique_by=lambda x: x[0],
+    )
+)
+def test_decode_list_matches_per_block(postings):
+    """The vectorized whole-list decoder must equal per-block decode_block
+    on every block layout — with and without the block_last fast path."""
+    from deluge_spark.index.codec import decode_list
+
+    postings.sort()
+    docs = np.array([p[0] for p in postings], dtype=np.int64)
+    tfs = np.array([p[1] for p in postings], dtype=np.int64)
+    dls = np.array([p[2] for p in postings], dtype=np.int64)
+    enc = encode_postings(docs, tfs, dls)
+    for last in (enc["block_last"], None):
+        d, t, l = decode_list(enc["data"], enc["block_off"],
+                              enc["block_count"], enc["block_first"], last)
+        assert d.tolist() == docs.tolist()
+        assert t.tolist() == tfs.tolist()
+        assert l.tolist() == dls.tolist()
+
+
 def test_unsorted_input_is_sorted():
     docs = np.array([30, 10, 20], dtype=np.int64)
     enc = encode_postings(docs, np.array([1, 2, 3]), np.array([4, 5, 6]))
