@@ -138,9 +138,8 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
     # groups are doc-RANGE buckets (not modulo): each group's partial
     # posting lists then cover disjoint contiguous doc ranges, which is
     # what lets the merge stage concatenate them without re-encoding.
-    docs_with_ids = assign_doc_ids(corpus)
+    docs_with_ids, n_total = assign_doc_ids(corpus, return_count=True)
     base_cols = [c for c in ("repo", "path", "commit", "lang") if c in corpus.columns]
-    n_total = docs_with_ids.count()
     grp_step = max(1, -(-n_total // cfg.tokenize_groups))
     docs_with_ids = docs_with_ids.withColumn(
         "shard", F.pmod(F.col("doc_id"), F.lit(cfg.num_shards)).cast("int")
@@ -188,6 +187,8 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
         metrics["retokenized_groups"] += 1
         done_tok += 1
         _mark("tokenize_encode")
+
+    docs_with_ids.unpersist()  # corpus cache ends with its last consumer
 
     partials_all = spark.read.option("basePath", partials_path).parquet(
         *[os.path.join(partials_path, f"group={g}")

@@ -37,7 +37,8 @@ def assign_doc_ids(
     df: DataFrame,
     key_cols: tuple[str, ...] = NATURAL_KEY,
     num_partitions: int | None = None,
-) -> DataFrame:
+    return_count: bool = False,
+):
     """Add a dense ``doc_id`` = rank in the total order over ``key_cols``.
 
     If the input already has a ``doc_id`` column (e.g. the driver's
@@ -49,7 +50,15 @@ def assign_doc_ids(
     monotonicity). So pre-assigned ids are validated for density and the
     frame is range-repartitioned on doc_id. Otherwise ids are assigned and
     the returned DataFrame is cached (the partition layout must stay pinned
-    to the offsets computed from it)."""
+    to the offsets computed from it).
+
+    Both paths cache: downstream the build runs several actions over the
+    frame (docs write, G tokenize groups), and without the cache each one
+    re-runs the full range exchange of the corpus.
+
+    ``return_count=True`` returns ``(df, n_rows)`` — both paths already
+    know the exact count from their one validation/offset job, so callers
+    (build_index) skip a redundant count action over the corpus."""
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
@@ -65,8 +74,10 @@ def assign_doc_ids(
                 f"pre-assigned doc_id must be dense 0..N-1: got n={n}, "
                 f"distinct={row['nd']}, min={row['lo']}, max={row['hi']} — "
                 "drop the column to let assign_doc_ids re-key")
-        return (df.repartitionByRange(num_partitions, F.col("doc_id"))
-                .sortWithinPartitions("doc_id"))
+        out = (df.repartitionByRange(num_partitions, F.col("doc_id"))
+               .sortWithinPartitions("doc_id"))
+        out.cache()
+        return (out, n) if return_count else out
 
     keys = [F.col(c) for c in key_cols]
     ranged = (df.repartitionByRange(num_partitions, *keys)
@@ -91,8 +102,9 @@ def assign_doc_ids(
     # recover the ordinal and add the global prefix-sum offset — narrow.
     ordinal = (F.monotonically_increasing_id()
                - F.shiftleft(F.col("_pid").cast("long"), 33))
-    return (ranged
-            .withColumn("doc_id",
-                        (F.element_at(off_map, F.col("_pid")) + ordinal)
-                        .cast("long"))
-            .drop("_pid"))
+    out = (ranged
+           .withColumn("doc_id",
+                       (F.element_at(off_map, F.col("_pid")) + ordinal)
+                       .cast("long"))
+           .drop("_pid"))
+    return (out, acc) if return_count else out
