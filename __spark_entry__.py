@@ -35,7 +35,12 @@ from deluge_spark.operators.dedup import (  # noqa: E402
     simhash_near_pairs,
     tokens_col,
 )
-from deluge_spark.operators.similarity import cosine_top_k, rp_lsh_top_k  # noqa: E402
+from deluge_spark.operators.similarity import (  # noqa: E402
+    cosine_near_pairs,
+    cosine_near_pairs_lsh,
+    cosine_top_k,
+    rp_lsh_top_k,
+)
 
 K1, B = 1.2, 0.75
 SCORE_DP = 4  # rounded-score ordering: deterministic ranks across engines
@@ -415,6 +420,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                             exclude_id=0)
     q["ann_rp_lsh_topk"] = ann_lsh
 
+    # embedding-cosine near-dup pairs: exact oracle baseline + LSH scale path
+    q["dedup_embedding_cosine"] = lambda s, d: cosine_near_pairs(
+        s.read.parquet(f"{d}/embeddings.parquet"), threshold=0.35)
+    q["dedup_embedding_cosine_lsh"] = lambda s, d: cosine_near_pairs_lsh(
+        s.read.parquet(f"{d}/embeddings.parquet"), threshold=0.35,
+        n_planes=16, bands=8)
+
     # --- text analysis -----------------------------------------------------
     q["lang_id"] = lambda s, d: dtext.lang_id(_docs(s, d))
     q["quality_score"] = lambda s, d: dtext.quality_score(_docs(s, d))
@@ -602,6 +614,15 @@ s AS (
 )
 SELECT vec_id, ROUND(sim, 6) AS sim FROM s
 ORDER BY ROUND(sim, 6) DESC, vec_id LIMIT 10
+"""
+    o["dedup_embedding_cosine"] = """
+WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+n AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
+p AS (SELECT a.id AS id_a, b.id AS id_b,
+             list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS sim
+      FROM n a JOIN n b ON a.id < b.id)
+SELECT id_a, id_b, ROUND(sim, 6) AS sim FROM p WHERE sim >= 0.35
 """
     o["lang_id"] = (
         f"SELECT doc_id, {dtext.lang_id_sql('text')} AS lang_pred FROM documents")

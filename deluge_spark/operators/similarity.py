@@ -88,3 +88,79 @@ def rp_lsh_top_k(df: DataFrame, query_vec: list[float], k: int = 10,
     cand = df.filter(band_match)
     return cosine_top_k(cand, query_vec, k, id_col, vec_col, exclude_id,
                         round_dp)
+
+
+def cosine_near_pairs(df: DataFrame, threshold: float,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      round_dp: int = 6) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, EXACT all-pairs baseline →
+    (id_a, id_b, sim) with sim ≥ threshold and id_a < id_b.
+
+    Quadratic by construction — this is the SQL-oracle-able baseline (norms
+    precomputed once per row, one fold per pair); ``cosine_near_pairs_lsh``
+    is the scale path."""
+    v = _as_double(vec_col)
+    base = df.select(F.col(id_col).alias("id"), v.alias("v")).withColumn(
+        "nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    a, b = base.alias("a"), base.alias("b")
+    sim = (_dot(F.col("a.v"), F.col("b.v"))
+           / (F.col("a.nrm") * F.col("b.nrm")))
+    return (a.join(b, F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    sim.alias("sim"))
+            .filter(F.col("sim") >= threshold)
+            .select("id_a", "id_b", F.round("sim", round_dp).alias("sim")))
+
+
+def cosine_near_pairs_lsh(df: DataFrame, threshold: float,
+                          id_col: str = "vec_id", vec_col: str = "embedding",
+                          n_planes: int = 16, bands: int = 8, seed: int = 42,
+                          round_dp: int = 6) -> DataFrame:
+    """Embedding-cosine near-dup pairs via random-hyperplane LSH blocking.
+
+    Sign-sketch each vector against ``n_planes`` hyperplanes (one narrow JVM
+    stage), band the signs; vectors sharing ANY band bucket become candidate
+    pairs (never an all-pairs stage), then candidates are verified with the
+    exact cosine ≥ threshold. Recall follows the sign-agreement S-curve
+    (P[sign match] = 1 − θ/π per plane) — raise ``bands`` / lower rows per
+    band for higher recall at lower thresholds."""
+    if n_planes % bands:
+        raise ValueError("n_planes must be divisible by bands")
+    rows = n_planes // bands
+    # dim from one row (driver-side peek; schemas with fixed-size arrays
+    # could supply this statically)
+    first = df.select(F.size(_as_double(vec_col)).alias("d")).first()
+    if first is None:
+        return df.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, sim double")
+    planes = _hyperplanes(int(first["d"]), n_planes, seed)
+
+    base = (df.select(F.col(id_col).alias("id"),
+                      _as_double(vec_col).alias("v"))
+            .withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v")))))
+    sign_cols = []
+    for p in planes:
+        parr = F.array(*[F.lit(float(x)) for x in p])
+        sign_cols.append(F.when(_dot(F.col("v"), parr) > 0, 1).otherwise(0))
+    base = base.withColumn("_signs", F.array(*sign_cols))
+    keyed = base.select(
+        "id",
+        F.explode(F.array(*[
+            F.hash(F.slice("_signs", b * rows + 1, rows).cast("string"),
+                   F.lit(b))
+            for b in range(bands)
+        ])).alias("bkey"))
+    cand = (keyed.alias("x").join(
+        keyed.alias("y"),
+        (F.col("x.bkey") == F.col("y.bkey")) & (F.col("x.id") < F.col("y.id")))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct())
+    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                     F.col("nrm").alias("na"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                     F.col("nrm").alias("nb"))
+    sim = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (cand.join(va, "id_a").join(vb, "id_b")
+            .select("id_a", "id_b", sim.alias("sim"))
+            .filter(F.col("sim") >= threshold)
+            .select("id_a", "id_b", F.round("sim", round_dp).alias("sim")))

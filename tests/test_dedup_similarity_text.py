@@ -118,6 +118,43 @@ def test_minhash_collapse_exact_bounds_giant_cluster(spark):
     assert capped.count() <= 16 * 45  # bands × C(cap,2)
 
 
+def test_embedding_cosine_near_pairs(spark):
+    """Planted near-dup embeddings: exact pair mining finds exactly the
+    planted pairs; the LSH-blocked variant verifies to the same set at this
+    recall point and never emits a below-threshold pair."""
+    import numpy as np
+
+    from deluge_spark.operators.similarity import (
+        cosine_near_pairs,
+        cosine_near_pairs_lsh,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((6, 32))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        # a near-duplicate of each base vector: tiny perturbation
+        rows.append((100 + i, [float(x) for x in
+                               v + 0.01 * rng.standard_normal(32)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact = cosine_near_pairs(emb, threshold=0.9).collect()
+    got = {(r.id_a, r.id_b) for r in exact}
+    assert got == {(i, 100 + i) for i in range(6)}
+    assert all(r.sim >= 0.9 for r in exact)
+
+    lsh = cosine_near_pairs_lsh(emb, threshold=0.9, n_planes=16,
+                                bands=8).collect()
+    got_lsh = {(r.id_a, r.id_b) for r in lsh}
+    # verified candidates are a subset of the exact pairs; at 2-plane bands
+    # and sim≈1 the planted pairs are all recovered
+    assert got_lsh == got
+    sims = {(r.id_a, r.id_b): r.sim for r in exact}
+    for r in lsh:
+        assert r.sim == sims[(r.id_a, r.id_b)]
+
+
 def test_simhash_near_pairs(docs):
     h = {r.id: r.simhash for r in simhash(docs).collect()}
     assert h[0] == h[3]                           # identical docs
