@@ -68,7 +68,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from deluge_spark.index.manifest import Manifest
-from deluge_spark.operators.doc_ids import assign_doc_ids
+from deluge_spark.operators.doc_ids import assign_doc_ids, unpersist_assigned
 
 SEGMENT_SCHEMA = (
     "shard int, term string, df_local long, cf_local long, n_postings long, "
@@ -87,6 +87,8 @@ class BuildConfig:
     term_buckets: int = 32            # pandas groups per shard in segment build
     manifest_counts: bool = True      # row-count jobs per manifest unit (lineage)
     store_content: bool = True
+    overwrite_stale: bool = False     # allow wiping an index built from a
+                                      # different source fingerprint (else raise)
     shuffle_partitions: int | None = None  # explicit sizing (north rule)
     # fault injection for the resumability kill-test:
     fail_after: dict = field(default_factory=dict)  # {"tokenize": n, "segments": n}
@@ -97,14 +99,20 @@ class FaultInjected(RuntimeError):
 
 
 def _fingerprint(corpus: DataFrame) -> str:
-    """Cheap lineage fingerprint: schema + source files if file-backed."""
-    files = []
+    """Cheap lineage fingerprint: schema + source-file lineage if
+    file-backed. Hashing the full sorted file list (plus its length) means
+    any added/removed/renamed input file changes the fingerprint — not just
+    the first 64 — while the stored string stays bounded."""
+    import hashlib
+    files: list[str] = []
     try:
-        files = sorted(corpus.inputFiles())[:64]
+        files = sorted(corpus.inputFiles())
     except Exception:
         pass
+    fh = hashlib.sha256("\n".join(files).encode()).hexdigest() if files else ""
     return json.dumps({"schema": corpus.schema.simpleString(),
-                       "files": files})[:4000]
+                       "n_files": len(files), "files_sha": fh,
+                       "head": files[:8]})[:4000]
 
 
 def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
@@ -116,7 +124,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
     os.makedirs(index_dir, exist_ok=True)
     man = Manifest(index_dir)
     fp = _fingerprint(corpus)
-    _reset_stale_index(index_dir, man, fp)
+    _reset_stale_index(index_dir, man, fp, allow=cfg.overwrite_stale)
     t0 = time.time()
     metrics = {"retokenized_groups": 0, "rebuilt_shard_batches": 0}
     stage_t: dict[str, float] = {}
@@ -139,6 +147,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
     # posting lists then cover disjoint contiguous doc ranges, which is
     # what lets the merge stage concatenate them without re-encoding.
     docs_with_ids, n_total = assign_doc_ids(corpus, return_count=True)
+    cached_corpus = docs_with_ids  # carries the cache handle; keep pre-withColumn
     base_cols = [c for c in ("repo", "path", "commit", "lang") if c in corpus.columns]
     grp_step = max(1, -(-n_total // cfg.tokenize_groups))
     docs_with_ids = docs_with_ids.withColumn(
@@ -188,7 +197,10 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
         done_tok += 1
         _mark("tokenize_encode")
 
-    docs_with_ids.unpersist()  # corpus cache ends with its last consumer
+    # release the corpus cache via the handle assign_doc_ids pinned —
+    # docs_with_ids was reassigned through withColumns, so unpersisting it
+    # directly would be a plan-mismatch no-op
+    unpersist_assigned(cached_corpus)
 
     partials_all = spark.read.option("basePath", partials_path).parquet(
         *[os.path.join(partials_path, f"group={g}")
@@ -612,15 +624,31 @@ def read_segments(spark: SparkSession, index_dir: str,
     return spark.read.option("basePath", seg_path).parquet(*paths)
 
 
-def _reset_stale_index(index_dir: str, man: Manifest, fp: str) -> bool:
+class StaleIndexError(RuntimeError):
+    """Raised when ``index_dir`` holds an index built from a different
+    source fingerprint and ``BuildConfig.overwrite_stale`` is False."""
+
+
+def _reset_stale_index(index_dir: str, man: Manifest, fp: str,
+                       allow: bool = False) -> bool:
     """If the manifest holds units committed under a DIFFERENT source
-    fingerprint, the on-disk artifacts belong to another corpus/layout:
-    wipe them all rather than let resume logic skip-and-mix (stale
-    partials/segment dirs would otherwise merge into results)."""
+    fingerprint, the on-disk artifacts belong to another corpus/layout —
+    resume logic must not skip-and-mix (stale partials/segment dirs would
+    silently merge into results). The fingerprint is schema + first source
+    files, so a path rename alone trips it: destroying a possibly expensive
+    index needs explicit consent (``overwrite_stale=True``); otherwise raise
+    with the mismatch so the caller can decide."""
     stale = [e for e in man.entries()
              if e.get("fingerprint") not in (None, fp)]
     if not stale:
         return False
+    if not allow:
+        raise StaleIndexError(
+            f"index at {index_dir} was built from a different source "
+            f"(fingerprint mismatch on units "
+            f"{sorted({e['unit'] for e in stale})[:8]}): pass "
+            "BuildConfig(overwrite_stale=True) to wipe and rebuild, or "
+            "point the build at a fresh index_dir")
     for sub in ("docs", "partials", "segments", "stats", "tf", "manifest"):
         shutil.rmtree(os.path.join(index_dir, sub), ignore_errors=True)
     os.makedirs(man.dir, exist_ok=True)

@@ -46,6 +46,12 @@ from deluge_spark.index.wand import PostingIterator, taat_top_k, wand_top_k
 RESULT_SCHEMA = "doc_id long, score double"
 
 
+class FilterTooUnselective(ValueError):
+    """A keyword filter matched more doc_ids than the coordinator-mode cap
+    — the allowed set cannot live on the driver. auto-mode catches exactly
+    this (and nothing broader) to fall back to the distributed path."""
+
+
 def idf(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
@@ -129,7 +135,7 @@ class Searcher:
         ids = docs.filter(self._filter_cond(filters)).select("doc_id").limit(
             self.filter_ids_cap + 1).collect()
         if len(ids) > self.filter_ids_cap:
-            raise ValueError(
+            raise FilterTooUnselective(
                 "filter too unselective for coordinator-mode WAND; "
                 "use mode='distributed' (executor-side filter cogroup) "
                 "or mode='dataframe'")
@@ -237,10 +243,12 @@ class Searcher:
                 top = self.search_local(query, k, filters, round_dp)
                 out = self.spark.createDataFrame(
                     [(int(d), float(s)) for d, s in top], RESULT_SCHEMA)
-            except ValueError:
+            except FilterTooUnselective:
+                # ONLY the cap rejection triggers the fallback — any other
+                # ValueError is a real bug and must surface, not silently
+                # rerun distributed
                 if not auto:
                     raise
-                # filter too unselective for the driver — executor-side path
                 mode = "distributed"
         if mode == "distributed":
             out = self._distributed(seg, idfs, avgdl, k, round_dp, filters)

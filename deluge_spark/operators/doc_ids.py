@@ -77,6 +77,10 @@ def assign_doc_ids(
         out = (df.repartitionByRange(num_partitions, F.col("doc_id"))
                .sortWithinPartitions("doc_id"))
         out.cache()
+        # the handle a caller must .unpersist() when done — derived frames
+        # (withColumn etc.) have different plans, so unpersist(cascade=false)
+        # on them is a silent no-op and the corpus-sized cache stays pinned
+        out._dsg_cached_handle = out
         return (out, n) if return_count else out
 
     keys = [F.col(c) for c in key_cols]
@@ -107,4 +111,15 @@ def assign_doc_ids(
                        (F.element_at(off_map, F.col("_pid")) + ordinal)
                        .cast("long"))
            .drop("_pid"))
+    # the cache lives on `ranged` (it must: the offsets above were computed
+    # from ranged's materialized partition layout) — expose it so callers
+    # can actually release it; unpersisting `out` would be a no-op
+    out._dsg_cached_handle = ranged
     return (out, acc) if return_count else out
+
+
+def unpersist_assigned(df) -> None:
+    """Release the cache pinned by ``assign_doc_ids``. Accepts the frame as
+    returned (before any reassignment); falls back to ``df.unpersist()`` if
+    the handle attribute is absent."""
+    getattr(df, "_dsg_cached_handle", df).unpersist()

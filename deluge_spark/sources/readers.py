@@ -109,6 +109,10 @@ def read_json_lines(spark: SparkSession, paths: str | list[str],
         df = (spark.read.option("recursiveFileLookup", "true").text(paths)
               .withColumn("path", F.input_file_name()))
         df = exclude_paths(df, excludes).drop("path") if excludes else df
+        # the native JSON datasource skips blank lines; spark.read.text
+        # yields them as empty rows, which from_json would turn into phantom
+        # corrupt records that skew the error-threshold gate
+        df = df.filter(F.length(F.trim(F.col("value"))) > 0)
         parsed = df.select(F.from_json(
             "value", schema + ", _corrupt string",
             {"mode": "PERMISSIVE",

@@ -32,7 +32,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# rows, next_token (None = cursor exhausted)
+# rows, next_token. Termination: an empty rows list ends the slice, AND a
+# returned next_token of None ends the slice (after its rows are consumed) —
+# either signal suffices, so implementations that return the final page as
+# (rows, None) terminate cleanly instead of restarting from the initial
+# None token.
 FetchPage = Callable[[int, int, object], tuple[list[dict], object]]
 
 
@@ -58,11 +62,15 @@ def read_sliced_scroll(spark: SparkSession, fetch_page: FetchPage,
                 token: object = None
                 for _ in range(max_pages_per_slice):
                     rows, token = fetch_page(sid, n_slices, token)
-                    if not rows:
+                    if rows:
+                        yield pd.DataFrame(
+                            {"slice_id": sid,
+                             "line": [json.dumps(r) for r in rows]})
+                    # empty page OR a None next_token ends the slice; None
+                    # is also the *initial* token, so looping on it would
+                    # re-walk the scroll from the start
+                    if not rows or token is None:
                         break
-                    yield pd.DataFrame(
-                        {"slice_id": sid,
-                         "line": [json.dumps(r) for r in rows]})
                 else:
                     raise RuntimeError(
                         f"slice {sid}: exceeded max_pages_per_slice "

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from deluge_spark.index.build import (
     BuildConfig,
     FaultInjected,
+    StaleIndexError,
     build_index,
     read_segments,
 )
@@ -78,7 +79,15 @@ def test_fingerprint_change_invalidates(spark, corpus_df, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("idx_fp"))
     cfg = BuildConfig(num_shards=2, tokenize_groups=2, shard_batches=1)
     build_index(spark, corpus_df, d, cfg)
-    # different source (schema change) → fingerprint differs → rebuild
+    # different source (schema change) → fingerprint differs → the build
+    # must NOT silently wipe a possibly expensive index: it raises unless
+    # the caller explicitly opts in with overwrite_stale=True
     changed = corpus_df.withColumn("extra", F.lit(1))
-    m = build_index(spark, changed, d, cfg)
+    with pytest.raises(StaleIndexError, match="overwrite_stale"):
+        build_index(spark, changed, d, cfg)
+    # … and the original index is untouched by the refused build
+    assert Manifest(d).is_sealed()
+    cfg_ow = BuildConfig(num_shards=2, tokenize_groups=2, shard_batches=1,
+                         overwrite_stale=True)
+    m = build_index(spark, changed, d, cfg_ow)
     assert m["retokenized_groups"] == 2

@@ -76,3 +76,29 @@ def test_scroll_to_searchable_index(spark, exported, tmp_path):
     s = Searcher(spark, d)
     got = s.search_local("document number 42", 3)
     assert got and got[0][0] == 42  # its own number term ranks doc 42 first
+
+
+def make_none_terminal_fetch_page(n_docs: int, page: int):
+    """Server that returns the FINAL page's rows together with token=None —
+    the (rows, None) terminal shape from the FetchPage contract. A naive
+    loop that only stops on empty rows would restart from the initial None
+    token and duplicate the slice forever."""
+    def fetch(slice_id: int, n_slices: int, token):
+        ids = [i for i in range(n_docs) if i % n_slices == slice_id]
+        start = int(token or 0)
+        pg = ids[start:start + page]
+        nxt = start + page
+        return rows_for(pg), (None if nxt >= len(ids) else nxt)
+
+    def rows_for(pg):
+        return [{"doc_id": i, "lang": "en", "text": f"d {i}"} for i in pg]
+    return fetch
+
+
+def test_none_token_with_rows_terminates_slice(spark):
+    df = read_sliced_scroll(
+        spark, make_none_terminal_fetch_page(N_DOCS, PAGE), n_slices=4,
+        schema="doc_id long, lang string, text string",
+        max_pages_per_slice=50)  # tight: a restart loop would blow this
+    rows = df.collect()
+    assert sorted(r["doc_id"] for r in rows) == list(range(N_DOCS))

@@ -138,3 +138,16 @@ def test_corpus_malformed_fixture_semantics(spark, corpus_pdf):
     check_corrupt_ratio(low, F.col("content").isNull(), threshold=0.01)
     with pytest.raises(ThresholdExceeded):
         check_corrupt_ratio(high, F.col("content").isNull(), threshold=0.01)
+
+
+def test_json_blank_lines_skipped_like_native_reader(spark, tmp_path):
+    """The native JSON datasource skips blank lines; the schema'd
+    text+from_json path must too — phantom all-null/corrupt rows would skew
+    counts and falsely trip the error-threshold gate."""
+    p = tmp_path / "blanks.jsonl"
+    p.write_text('{"id": 1, "name": "a"}\n\n   \n{"id": 2, "name": "b"}\n\n')
+    df = read_json_lines(spark, str(p), schema="id long, name string")
+    rows = df.collect()
+    assert len(rows) == 2
+    assert all(r["_corrupt"] is None for r in rows)
+    assert sorted(r["id"] for r in rows) == [1, 2]
