@@ -477,29 +477,89 @@ def tf_from_segments(spark: SparkSession, index_dir: str) -> DataFrame:
         "data")
 
     def _dec(it):
-        from deluge_spark.index.codec import decode_list
+        from deluge_spark.index.codec import varint_decode
 
+        # whole-BATCH decode, zero per-row Python: every posting list in the
+        # batch is a packed varint stream and binary cells are stored
+        # back-to-back in the Arrow values buffer, so ONE varint_decode
+        # covers all rows; block/list structure is then pure index
+        # arithmetic (the exact inverse of encode_group's scatter), and the
+        # term column is an Arrow take by repeated row index — no
+        # row-at-a-time .as_py() anywhere (the old loop made a reindex of a
+        # real index crawl).
         for batch in it:
-            terms_out, docs_out, tfs_out, dls_out = [], [], [], []
-            tbl = pa.Table.from_batches([batch])
-            for row in range(tbl.num_rows):
-                d, t, l = decode_list(
-                    tbl.column("data")[row].as_py(),
-                    tbl.column("block_off")[row].as_py(),
-                    tbl.column("block_count")[row].as_py(),
-                    tbl.column("block_first")[row].as_py(),
-                    tbl.column("block_last")[row].as_py())
-                docs_out.append(d); tfs_out.append(t); dls_out.append(l)
-                terms_out.extend([tbl.column("term")[row].as_py()] * len(d))
-            if not docs_out:
+            n_rows = batch.num_rows
+            if n_rows == 0:
                 continue
+            import pyarrow.compute as pc
+            cnt_list = batch.column("block_count")
+            cnt = cnt_list.flatten().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            blocks_per_row = pc.list_value_length(cnt_list).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            first = batch.column("block_first").flatten().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            last = batch.column("block_last").flatten().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            n_blocks = len(cnt)
+            if n_blocks == 0:
+                continue
+            total = int(cnt.sum())
+
+            data_arr = batch.column("data")
+            # binary layout: values buffer is the rows' byte streams packed
+            # contiguously in row order — offsets[0]..offsets[-1] is one
+            # uninterrupted varint stream across all posting lists
+            bin_offsets = np.frombuffer(
+                data_arr.buffers()[1], dtype=np.int32)[
+                data_arr.offset: data_arr.offset + n_rows + 1]
+            buf = np.frombuffer(data_arr.buffers()[2], dtype=np.uint8)
+            n_vals = 3 * total - n_blocks
+            vals, consumed = varint_decode(buf, count=n_vals,
+                                           offset=int(bin_offsets[0]))
+            assert consumed == int(bin_offsets[-1] - bin_offsets[0]), \
+                "posting byte stream not contiguous across rows"
+            vals = vals.astype(np.int64)
+
+            vstart = np.zeros(n_blocks, dtype=np.int64)
+            np.cumsum(3 * cnt[:-1] - 1, out=vstart[1:])
+            pstart = np.zeros(n_blocks, dtype=np.int64)
+            np.cumsum(cnt[:-1], out=pstart[1:])
+            bid = np.repeat(np.arange(n_blocks, dtype=np.int64), cnt)
+            ordb = np.arange(total, dtype=np.int64) - pstart[bid]
+
+            tfs = vals[vstart[bid] + (cnt[bid] - 1) + ordb]
+            dls = vals[vstart[bid] + (2 * cnt[bid] - 1) + ordb]
+
+            # one GLOBAL doc cumsum across every list in the batch: the
+            # delta at any block start is first[b] − last[b−1] — the same
+            # formula within a list (gap from the previous block) and
+            # across list boundaries (it cancels the running prefix of the
+            # previous list exactly, so each list re-bases to its absolute
+            # first doc)
+            delta = np.empty(total, dtype=np.int64)
+            nz = ordb > 0
+            delta[nz] = vals[(vstart[bid] + ordb - 1)[nz]]
+            base = np.empty(n_blocks, dtype=np.int64)
+            base[0] = first[0]
+            base[1:] = first[1:] - last[:-1]
+            delta[pstart] = base
+            docs = np.cumsum(delta)
+            row_block_start = np.zeros(n_rows, dtype=np.int64)
+            np.cumsum(blocks_per_row[:-1], out=row_block_start[1:])
+
+            postings_per_row = np.add.reduceat(
+                np.append(cnt, 0), np.append(row_block_start, n_blocks)
+            )[:-1] * (blocks_per_row > 0)
+            row_idx = np.repeat(np.arange(n_rows, dtype=np.int64),
+                                postings_per_row)
+            term_out = pc.take(batch.column("term"),
+                               pa.array(row_idx, pa.int64()))
             yield pa.RecordBatch.from_pydict({
-                "doc_id": pa.array(np.concatenate(docs_out), pa.int64()),
-                "term": pa.array(terms_out, pa.string()),
-                "tf": pa.array(np.concatenate(tfs_out).astype(np.int32),
-                               pa.int32()),
-                "dl": pa.array(np.concatenate(dls_out).astype(np.int32),
-                               pa.int32()),
+                "doc_id": pa.array(docs, pa.int64()),
+                "term": term_out,
+                "tf": pa.array(tfs.astype(np.int32), pa.int32()),
+                "dl": pa.array(dls.astype(np.int32), pa.int32()),
             })
 
     return seg.mapInArrow(_dec, schema="doc_id long, term string, tf int, dl int")

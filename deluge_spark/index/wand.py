@@ -32,11 +32,20 @@ from deluge_spark.index.codec import decode_block, tfnorm
 
 
 class PostingIterator:
-    """Lazy block-decoding cursor over one (shard, term) posting list."""
+    """Lazy block-decoding cursor over one (shard, term) posting list.
+
+    Shallow advance: entering a block positions the cursor at its first
+    posting WITHOUT decoding — ``block_first`` (skip table) already gives
+    that posting's doc_id, which is all WAND's sort/pivot/bound phases read.
+    The varint decode runs only when the cursor must look INSIDE a block:
+    in-block repositioning, scoring, or stepping past the first posting.
+    Blocks that are jumped to purely for bounding (the common case for long
+    hot-term lists driven by rare-term pivots) are never decoded;
+    ``n_decoded`` counts actual block decodes for plan/bench assertions."""
 
     __slots__ = ("idf", "avgdl", "block_first", "block_last", "block_count",
                  "block_off", "block_ub", "data", "n_blocks", "bi", "pos",
-                 "docs", "tfs", "dls", "exhausted", "term_max")
+                 "docs", "tfs", "dls", "exhausted", "term_max", "n_decoded")
 
     def __init__(self, row: dict, idf: float, avgdl: float):
         self.idf = float(idf)
@@ -57,19 +66,30 @@ class PostingIterator:
         self.bi = -1
         self.pos = 0
         self.docs = self.tfs = self.dls = None
+        self.n_decoded = 0
         self.exhausted = self.n_blocks == 0
         if not self.exhausted:
             self._enter_block(0)
 
     def _enter_block(self, bi: int) -> None:
+        """Shallow entry: cursor at the block's first posting, undecoded
+        (its doc_id is block_first[bi] from the skip table)."""
         self.bi = bi
-        self.docs, self.tfs, self.dls = decode_block(
-            self.data, int(self.block_off[bi]), int(self.block_count[bi]),
-            int(self.block_first[bi]))
+        self.docs = self.tfs = self.dls = None
         self.pos = 0
+
+    def _ensure_decoded(self) -> None:
+        if self.docs is None:
+            self.docs, self.tfs, self.dls = decode_block(
+                self.data, int(self.block_off[self.bi]),
+                int(self.block_count[self.bi]),
+                int(self.block_first[self.bi]))
+            self.n_decoded += 1
 
     @property
     def cur_doc(self) -> int:
+        if self.docs is None:  # at block head: skip table knows the doc
+            return int(self.block_first[self.bi])
         return int(self.docs[self.pos])
 
     @property
@@ -78,11 +98,15 @@ class PostingIterator:
         return float(self.block_ub[self.bi])
 
     def cur_score(self) -> float:
+        self._ensure_decoded()
         t = float(self.tfs[self.pos]); l = float(self.dls[self.pos])
         return self.idf * float(tfnorm(np.float64(t), np.float64(l), self.avgdl))
 
     def advance(self, target: int) -> None:
-        """Move cursor to the first doc ≥ target (skipping blocks undecoded)."""
+        """Move cursor to the first doc ≥ target. Block jumps use only the
+        skip table; the landing block is decoded ONLY if the target falls
+        strictly inside it (block_first < target ≤ block_last) — a target
+        at or before the block head leaves the block undecoded."""
         if self.exhausted:
             return
         if int(self.block_last[self.bi]) < target:
@@ -91,8 +115,9 @@ class PostingIterator:
                 self.exhausted = True
                 return
             self._enter_block(nbi)
-        if self.docs[self.pos] >= target:
-            return
+        if self.cur_doc >= target:
+            return  # shallow: block head already satisfies the target
+        self._ensure_decoded()
         self.pos = int(np.searchsorted(self.docs, target, side="left"))
         if self.pos >= len(self.docs):
             # target fell in the gap after this block's last doc
@@ -102,6 +127,7 @@ class PostingIterator:
                 self._enter_block(self.bi + 1)
 
     def next(self) -> None:
+        self._ensure_decoded()
         self.pos += 1
         if self.pos >= len(self.docs):
             if self.bi + 1 >= self.n_blocks:

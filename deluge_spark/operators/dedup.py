@@ -147,19 +147,24 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     a, b = _minhash_params(num_hashes, seed)
     sh = _shingles(df, id_col, text_col, n, mode)
     h = F.abs(F.xxhash64("shingle")) % F.lit(MERSENNE)
-    perms = F.array(*[
-        ((F.lit(a[i]) * h + F.lit(b[i])) % F.lit(MERSENNE))
+    # positional min aggregates: num_hashes independent F.min expressions,
+    # assembled into the array AFTER aggregation. Aggregation state is a
+    # fixed 64 longs per doc — NOT a collect_list of per-shingle arrays,
+    # whose buffer would grow as 8·num_hashes bytes per distinct shingle
+    # (a 100k-shingle doc ≈ 50 MB of agg state; a few per partition OOM an
+    # executor). Same single shuffle, identical results, and map-side
+    # partial aggregation now combines (min is associative) where
+    # collect_list could only concatenate.
+    exploded = sh.select("id", h.alias("_h"))
+    mins = [
+        F.min((F.lit(a[i]) * F.col("_h") + F.lit(b[i])) % F.lit(MERSENNE))
+        .alias(f"_s{i}")
         for i in range(num_hashes)
-    ])
-    exploded = sh.select("id", perms.alias("perms"))
-    # positional min across rows: aggregate arrays with zip_with(least)
-    zero = F.array(*[F.lit(MERSENNE).cast("long")] * num_hashes)
+    ]
     return (
-        exploded.groupBy("id")
-        .agg(F.reduce(
-            F.collect_list("perms"), zero,
-            lambda acc, x: F.zip_with(acc, x, lambda p, q: F.least(p, q)),
-        ).alias("sig"))
+        exploded.groupBy("id").agg(*mins)
+        .select("id", F.array(*[F.col(f"_s{i}")
+                                for i in range(num_hashes)]).alias("sig"))
     )
 
 
@@ -254,22 +259,22 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                       F.explode(tokens_col(text_col, mode)).alias("tok"))
             .groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf")))
     h = F.xxhash64("tok")
-    votes = F.array(*[
-        (F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.col("tf"))
-         .otherwise(-F.col("tf"))).cast("long")
+    # positional sum aggregates: 64 independent F.sum expressions (fixed
+    # 64-long agg state per doc, map-side combinable) instead of
+    # collect_list of per-token 64-long vote arrays (state O(distinct
+    # tokens) — an executor OOM at web scale).
+    votes = [
+        F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1,
+                     F.col("tf")).otherwise(-F.col("tf")).cast("long"))
+        .alias(f"_v{i}")
         for i in range(64)
-    ])
-    agg = (toks.select("id", votes.alias("v"))
-           .groupBy("id")
-           .agg(F.reduce(F.collect_list("v"),
-                         F.array(*[F.lit(0).cast("long")] * 64),
-                         lambda acc, x: F.zip_with(acc, x, lambda p, q: p + q))
-                .alias("votes")))
+    ]
+    agg = toks.groupBy("id").agg(*votes)
     bits = F.lit(0).cast("long")
     for i in range(64):
         val = (1 << i) if i < 63 else -(1 << 63)  # bit 63 = sign bit
         bits = bits.bitwiseOR(
-            F.when(F.element_at("votes", i + 1) > 0, F.lit(val).cast("long"))
+            F.when(F.col(f"_v{i}") > 0, F.lit(val).cast("long"))
             .otherwise(F.lit(0).cast("long")))
     return agg.select("id", bits.alias("simhash"))
 

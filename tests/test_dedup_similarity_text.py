@@ -232,3 +232,72 @@ def test_text_functions_match_duckdb(spark, sf_dir):
         f"SELECT doc_id, {T.lang_id_sql('text')} AS lang_pred "
         "FROM documents ORDER BY doc_id").df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_signature_agg_positional_no_collect_list(docs, spark):
+    """The MinHash/SimHash signature stage must aggregate with fixed-width
+    positional min/sum state (64 longs per doc), never collect_list of
+    per-shingle arrays (state O(distinct tokens) — executor OOM at scale)."""
+    from deluge_spark.operators.dedup import minhash_signatures, simhash
+
+    for frame in (minhash_signatures(docs, n=2), simhash(docs)):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "collect_list" not in plan, plan
+        # positional aggregates stay in the codegen'd HashAggregate path;
+        # collect_list would force ObjectHashAggregate
+        assert "ObjectHashAggregate" not in plan, plan
+
+
+def test_signatures_on_50k_distinct_token_doc(spark):
+    """A single doc with >=50k distinct tokens flows through both signature
+    aggregations, and the aggregated values match a numpy fold over the
+    same Spark-computed xxhash64 base hashes."""
+    from deluge_spark.operators.dedup import (
+        MERSENNE,
+        _minhash_params,
+        minhash_signatures,
+        simhash,
+        tokens_col,
+    )
+
+    n_tok = 50_000
+    text = " ".join(f"tok{i} x{i}" for i in range(n_tok // 2))
+    df = spark.createDataFrame([(1, text), (2, "tok0 x0 tok1")],
+                               "doc_id long, text string")
+
+    # ground truth from the same base hashes (xxhash64 has no cheap python
+    # twin, so pull the per-shingle hashes once and fold in numpy)
+    sh = (df.select("doc_id",
+                    F.explode(tokens_col("text", "simple")).alias("tok"))
+          .distinct()
+          .select("doc_id", (F.abs(F.xxhash64("tok")) % MERSENNE).alias("h")))
+    pdf = sh.toPandas()
+    a, b = _minhash_params(64, seed=42)
+    want_sigs = {}
+    for did, grp in pdf.groupby("doc_id"):
+        h = grp["h"].to_numpy(dtype=np.int64)
+        sig = [(int(ai) * h + int(bi)) % MERSENNE for ai, bi in zip(a, b)]
+        want_sigs[did] = [int(s.min()) for s in sig]
+    got = {r.id: list(r.sig)
+           for r in minhash_signatures(df, n=1, mode="simple").collect()}
+    assert got == want_sigs
+    assert len(got[1]) == 64
+
+    # simhash: every token distinct (tf=1); vote_i = sum of +-1 per bit
+    raw = (df.select("doc_id",
+                     F.explode(tokens_col("text", "simple")).alias("tok"))
+           .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+           .select("doc_id", "tf", F.xxhash64("tok").alias("h")).toPandas())
+    want_fp = {}
+    for did, grp in raw.groupby("doc_id"):
+        h = grp["h"].to_numpy(dtype=np.uint64)
+        tf = grp["tf"].to_numpy(dtype=np.int64)
+        fp = 0
+        for i in range(64):
+            bit = ((h >> np.uint64(i)) & np.uint64(1)).astype(np.int64)
+            vote = int((np.where(bit == 1, tf, -tf)).sum())
+            if vote > 0:
+                fp |= 1 << i
+        want_fp[did] = fp - (1 << 64) if fp >= (1 << 63) else fp
+    got_fp = {r.id: r.simhash for r in simhash(df).collect()}
+    assert got_fp == want_fp

@@ -72,3 +72,64 @@ def test_fuzz_rank_identity(setup):
                                        mode="distributed").collect()
             assert [r.doc_id for r in got_dist] == [d for d, _ in want], \
                 f"distributed diverged: trial={trial} terms={terms}"
+
+
+def test_shallow_advance_skips_decodes():
+    """A hot term driven by rare-term pivots must jump most of its blocks
+    without varint-decoding them: the skip table alone (block_first/last)
+    answers every bound-only visit. Uniform tf/dl make every hot posting
+    score exactly term_max, so once a hot+rare doc sets the heap floor the
+    hot list can never win alone and pivots come from the rare list.
+    Counter-verified, and ranks stay identical to exhaustive TAAT."""
+    import numpy as np
+
+    from deluge_spark.index.codec import encode_postings
+    from deluge_spark.index.wand import PostingIterator, taat_top_k, wand_top_k
+
+    n_docs = 200_000
+    hot_docs = np.arange(0, n_docs, 2, dtype=np.int64)          # 100k postings
+    rare_docs = np.array([10, 77_000, 155_008], dtype=np.int64)  # all even →
+    # every rare doc also appears in the hot list (pivot alignment)
+
+    def row(term, docs):
+        tf = np.ones(len(docs), dtype=np.int64)
+        dl = np.full(len(docs), 200, dtype=np.int64)
+        enc = encode_postings(docs, tf, dl)
+        return {"term": term, "shard": 0, "n_postings": len(docs), **enc}
+
+    hot = row("hot", hot_docs)
+    rare = row("rare", rare_docs)
+    idfs = {"hot": 0.05, "rare": 9.0}
+    avgdl = 200.0
+
+    its = [PostingIterator(hot, idfs["hot"], avgdl),
+           PostingIterator(rare, idfs["rare"], avgdl)]
+    got = wand_top_k(its, k=1, round_dp=4)
+    want = taat_top_k([hot, rare], idfs, avgdl, k=1, round_dp=4)
+    assert [d for d, _ in got] == [d for d, _ in want] == [10]
+
+    hot_blocks = len(hot["block_off"])
+    assert hot_blocks > 500
+    assert its[0].n_decoded <= 6, (its[0].n_decoded, hot_blocks)
+
+
+def test_advance_to_block_head_does_not_decode():
+    """advance() landing exactly on a block's first doc (or before it) must
+    not decode: cur_doc comes from the skip table."""
+    import numpy as np
+
+    from deluge_spark.index.codec import encode_postings
+    from deluge_spark.index.wand import PostingIterator
+
+    docs = np.arange(0, 12_800, 10, dtype=np.int64)  # 10 blocks of 128
+    enc = encode_postings(docs, np.ones(len(docs), np.int64),
+                          np.full(len(docs), 100, np.int64))
+    it = PostingIterator({"term": "t", **enc}, 1.0, 100.0)
+    assert it.n_decoded == 0                      # construction is shallow
+    head3 = int(enc["block_first"][3])
+    it.advance(head3)                             # exact block head
+    assert it.cur_doc == head3 and it.n_decoded == 0
+    it.advance(head3 + 5)                         # strictly inside block 3
+    assert it.cur_doc == head3 + 10 and it.n_decoded == 1
+    it.cur_score()                                # already decoded: no extra
+    assert it.n_decoded == 1
