@@ -36,6 +36,8 @@ from deluge_spark.operators.dedup import (  # noqa: E402
     tokens_col,
 )
 from deluge_spark.operators.similarity import (  # noqa: E402
+    ann_index_top_k,
+    build_ann_index,
     cosine_near_pairs,
     cosine_near_pairs_lsh,
     cosine_top_k,
@@ -104,6 +106,20 @@ def _bm25(spark: SparkSession, sf_dir: str, query: str, k: int,
 
 _SHIPPED: set[int] = set()
 _SEARCHERS: dict[tuple[int, str], object] = {}
+_ANN_INDEXES: dict[tuple[int, str], str] = {}
+
+
+def _get_ann_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build the persisted ANN sign-sketch index ONCE per (session, sf_dir)
+    into a temp dir; ann_indexed_topk then serves from bucket lookups."""
+    key = (id(spark.sparkContext), sf_dir)
+    if key not in _ANN_INDEXES:
+        _ensure_shipped(spark)
+        idx = tempfile.mkdtemp(prefix="deluge_entry_ann_")
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        build_ann_index(emb, idx, n_planes=16, bands=8)
+        _ANN_INDEXES[key] = idx
+    return _ANN_INDEXES[key]
 
 
 def _ensure_shipped(spark: SparkSession) -> None:
@@ -414,18 +430,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_cosine_topk"] = ann_brute
 
     def ann_lsh(s, d):
+        _ensure_shipped(s)  # sign sketch is an Arrow stage (numpy matmul)
         emb = s.read.parquet(f"{d}/embeddings.parquet")
         qv = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
         return rp_lsh_top_k(emb, list(qv), 10, n_planes=16, bands=8,
                             exclude_id=0)
     q["ann_rp_lsh_topk"] = ann_lsh
 
+    def ann_indexed(s, d):
+        # the SERVING path: persisted sign-sketch index built once per
+        # (session, sf_dir); the query reads only its buckets + candidates
+        idx = _get_ann_index(s, d)
+        emb = s.read.parquet(f"{d}/embeddings.parquet")
+        qv = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+        return ann_index_top_k(s, idx, list(qv), 10, exclude_id=0)
+    q["ann_indexed_topk"] = ann_indexed
+
     # embedding-cosine near-dup pairs: exact oracle baseline + LSH scale path
     q["dedup_embedding_cosine"] = lambda s, d: cosine_near_pairs(
         s.read.parquet(f"{d}/embeddings.parquet"), threshold=0.35)
-    q["dedup_embedding_cosine_lsh"] = lambda s, d: cosine_near_pairs_lsh(
-        s.read.parquet(f"{d}/embeddings.parquet"), threshold=0.35,
-        n_planes=16, bands=8)
+    def emb_cos_lsh(s, d):
+        _ensure_shipped(s)  # sign sketch is an Arrow stage (numpy matmul)
+        return cosine_near_pairs_lsh(
+            s.read.parquet(f"{d}/embeddings.parquet"), threshold=0.35,
+            n_planes=16, bands=8)
+    q["dedup_embedding_cosine_lsh"] = emb_cos_lsh
 
     # --- text analysis -----------------------------------------------------
     q["lang_id"] = lambda s, d: dtext.lang_id(_docs(s, d))

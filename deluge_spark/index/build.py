@@ -158,18 +158,53 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
 
     # ---- stage 1: docs table (sha256 invariant + stored fields) ----------
     # A pure JVM projection — sha2 is a codegen intrinsic; no tokenization
-    # here (doc lengths come out of the single analysis pass below).
+    # here (doc lengths come out of the single analysis pass below). The
+    # parquet write is IO-bound and independent of the tokenize stage, so
+    # it runs CONCURRENTLY with it (separate driver thread → separate Spark
+    # job) — at 2-vs-8-core scaling the single-disk commit was a per-node
+    # constant that dragged raw efficiency; overlapped, it hides behind the
+    # CPU-bound tokenize pass. Row count comes from an Observation attached
+    # to the write job (no re-read count job).
+    import threading
+
+    from pyspark.sql import Observation
+
+    docs_exc: list[BaseException] = []
+    docs_thread: threading.Thread | None = None
     if not man.is_done("docs", fp):
         keep = ["doc_id", *base_cols,
                 F.sha2(F.col("content"), 256).alias("content_sha256"),
                 "shard"]
         if cfg.store_content:
             keep.append("content")
-        docs_with_ids.select(*keep).write.mode("overwrite").parquet(docs_path)
-        n_docs_total = (spark.read.parquet(docs_path).count()
-                        if cfg.manifest_counts else -1)
-        man.commit("docs", fp, rows=n_docs_total)
-        _mark("docs_table")
+        frame = docs_with_ids.select(*keep)
+
+        def _write_docs() -> None:
+            t0d = time.time()
+            try:
+                if cfg.manifest_counts:
+                    obs = Observation()
+                    (frame.observe(obs, F.count(F.lit(1)).alias("n"))
+                     .write.mode("overwrite").parquet(docs_path))
+                    n_docs_total = int(obs.get["n"])
+                else:
+                    frame.write.mode("overwrite").parquet(docs_path)
+                    n_docs_total = -1
+                man.commit("docs", fp, rows=n_docs_total)
+            except BaseException as e:  # surfaced after join
+                docs_exc.append(e)
+            finally:
+                stage_t["docs_table"] = round(time.time() - t0d, 3)
+
+        docs_thread = threading.Thread(target=_write_docs,
+                                       name="deluge-docs-write", daemon=True)
+        docs_thread.start()
+
+    def _join_docs() -> None:
+        if docs_thread is not None:
+            docs_thread.join()
+            if docs_exc:
+                raise docs_exc[0]
 
     # ---- stage 2: tokenize + encode partial postings, per group ---------
     # THE corpus pass: ONE Python stage does analysis AND block compression;
@@ -179,23 +214,35 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
     # shuffle volume shrinks the same way). Impact-pair block bounds mean
     # no avgdl is needed here.
     done_tok = 0
-    for g in range(cfg.tokenize_groups):
-        unit = f"tokenize_g{g}"
-        if man.is_done(unit, fp):
-            continue
-        if cfg.fail_after.get("tokenize") is not None and \
-                done_tok >= cfg.fail_after["tokenize"]:
-            raise FaultInjected(f"injected failure before {unit}")
-        part = docs_with_ids.filter(F.col("grp") == g)
-        partials = _tokenize_encode_partials(
-            part, "content", cfg.tokenizer_mode, cfg.num_shards)
-        out = os.path.join(partials_path, f"group={g}")
-        partials.write.mode("overwrite").partitionBy("shard").parquet(out)
-        n_rows = spark.read.parquet(out).count() if cfg.manifest_counts else -1
-        man.commit(unit, fp, rows=n_rows, group=g)
-        metrics["retokenized_groups"] += 1
-        done_tok += 1
-        _mark("tokenize_encode")
+    try:
+        for g in range(cfg.tokenize_groups):
+            unit = f"tokenize_g{g}"
+            if man.is_done(unit, fp):
+                continue
+            if cfg.fail_after.get("tokenize") is not None and \
+                    done_tok >= cfg.fail_after["tokenize"]:
+                raise FaultInjected(f"injected failure before {unit}")
+            part = docs_with_ids.filter(F.col("grp") == g)
+            partials = _tokenize_encode_partials(
+                part, "content", cfg.tokenizer_mode, cfg.num_shards)
+            out = os.path.join(partials_path, f"group={g}")
+            if cfg.manifest_counts:
+                obs = Observation()
+                (partials.observe(obs, F.count(F.lit(1)).alias("n"))
+                 .write.mode("overwrite").partitionBy("shard").parquet(out))
+                n_rows = int(obs.get["n"])
+            else:
+                partials.write.mode("overwrite").partitionBy(
+                    "shard").parquet(out)
+                n_rows = -1
+            man.commit(unit, fp, rows=n_rows, group=g)
+            metrics["retokenized_groups"] += 1
+            done_tok += 1
+            _mark("tokenize_encode")
+    finally:
+        # the docs write must be settled before we return OR raise — the
+        # manifest view at any exit point reflects completed units only
+        _join_docs()
 
     # release the corpus cache via the handle assign_doc_ids pinned —
     # docs_with_ids was reassigned through withColumns, so unpersisting it
@@ -207,14 +254,27 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
           for g in range(cfg.tokenize_groups)])
 
     # ---- stage 2b: per-doc meta (doc_id, dl) → corpus stats --------------
+    # n_docs/avgdl are observed ON the docmeta write job (one job, no
+    # re-read) and recorded in the manifest; resumes read them from lineage
     if not man.is_done("docmeta", fp):
-        (partials_all.filter(F.col("term").isNull())
-         .select(F.col("first_doc").alias("doc_id"),
-                 F.col("df_p").alias("dl"))
+        meta_df = (partials_all.filter(F.col("term").isNull())
+                   .select(F.col("first_doc").alias("doc_id"),
+                           F.col("df_p").alias("dl")))
+        obs = Observation()
+        (meta_df.observe(obs, F.count(F.lit(1)).alias("n"),
+                         F.avg("dl").alias("avgdl"))
          .write.mode("overwrite").parquet(meta_path))
-        man.commit("docmeta", fp)
-    n_docs, avgdl = _stats_from_dl(
-        spark.read.parquet(meta_path).select("dl"))
+        got = obs.get
+        n_docs = int(got["n"] or 0)
+        avgdl = float(got["avgdl"]) if n_docs else 0.0
+        man.commit("docmeta", fp, n_docs=n_docs, avgdl=avgdl)
+    else:
+        entry = man.get("docmeta") or {}
+        if "n_docs" in entry:
+            n_docs, avgdl = int(entry["n_docs"]), float(entry["avgdl"])
+        else:  # manifest from an older build: fall back to one agg job
+            n_docs, avgdl = _stats_from_dl(
+                spark.read.parquet(meta_path).select("dl"))
     _mark("corpus_stats")
 
     partials_all = partials_all.filter(F.col("term").isNotNull())
@@ -244,12 +304,16 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
     # ---- stage 4: stats ---------------------------------------------------
     if not man.is_done("stats", fp):
         batch_names = [f"batch={bi}" for bi in range(len(batches))]
-        seg_all = read_segments(spark, index_dir, batches=batch_names)
-        terms = seg_all.groupBy("term").agg(
-            F.sum("df_local").alias("df"), F.sum("cf_local").alias("cf"))
-        terms.write.mode("overwrite").parquet(os.path.join(stats_dir, "terms"))
-        total_postings = int(
-            seg_all.agg(F.sum("n_postings")).collect()[0][0] or 0)
+        # term stats come from the PARTIAL rows (term, df_p, cf_p — tiny
+        # pruned columns, no segment binary read), and total_postings is
+        # observed on the same write job: one job for the whole stage
+        # instead of two passes over the merged segments
+        terms = partials_all.groupBy("term").agg(
+            F.sum("df_p").alias("df"), F.sum("cf_p").alias("cf"))
+        obs = Observation()
+        (terms.observe(obs, F.sum("df").alias("tp"))
+         .write.mode("overwrite").parquet(os.path.join(stats_dir, "terms")))
+        total_postings = int(obs.get["tp"] or 0)
         os.makedirs(stats_dir, exist_ok=True)
         glob = {
             "n_docs": n_docs, "avgdl": avgdl,
@@ -463,6 +527,93 @@ def _merge_partials(partials: DataFrame) -> DataFrame:
         "aggregate(ps, CAST(X'' AS BINARY), (a, x) -> concat(a, x.data)) "
         "AS data",
     )
+
+
+def _merge_partials_reencode(partials: DataFrame) -> DataFrame:
+    """Merge partial posting lists whose doc ranges may OVERLAP — the
+    streaming-ingest case, where micro-batches see doc_ids in arrival order
+    so per-batch partials of one (shard, term) interleave. The batch build's
+    concat merge (``_merge_partials``) requires disjoint ranges; here each
+    partial's self-contained blocks are decoded, the postings merge-sorted
+    by doc_id, and the list re-encoded — LSM-style compaction. The shuffle
+    and the Arrow boundary still carry only compressed partials (~5
+    B/posting); decode/re-encode is vectorized numpy per term."""
+    import pyarrow as pa
+
+    grouped = partials.groupBy("shard", "term").agg(
+        F.collect_list(F.struct(
+            F.col("block_first").alias("bf"),
+            F.col("block_last").alias("bl"),
+            F.col("block_count").alias("bc"),
+            F.col("block_off").alias("bo"),
+            F.col("data").alias("data"),
+        )).alias("ps"))
+
+    def _reenc(it):
+        from deluge_spark.index.codec import decode_list, encode_group
+
+        for batch in it:
+            n_rows = batch.num_rows
+            if n_rows == 0:
+                continue
+            ps_col = batch.column("ps")
+            docs_l, tfs_l, dls_l = [], [], []
+            lens = np.empty(n_rows, dtype=np.int64)
+            for r in range(n_rows):
+                parts = ps_col[r].as_py()
+                segs = [decode_list(p["data"], p["bo"], p["bc"],
+                                    p["bf"], p["bl"]) for p in parts]
+                d = np.concatenate([s[0] for s in segs])
+                t = np.concatenate([s[1] for s in segs])
+                l = np.concatenate([s[2] for s in segs])
+                order = np.argsort(d, kind="stable")
+                docs_l.append(d[order]); tfs_l.append(t[order])
+                dls_l.append(l[order]); lens[r] = len(d)
+            doc = np.concatenate(docs_l)
+            tf = np.concatenate(tfs_l)
+            dl = np.concatenate(dls_l)
+            idx = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+            g = encode_group(idx, doc, tf, dl)
+
+            nt = g["n_terms"]
+            assert nt == n_rows  # every (shard, term) group has postings
+            list_offsets = pa.array(
+                g["term_block_offsets"].astype("int32"), pa.int32())
+
+            def _list(flat, patype):
+                return pa.ListArray.from_arrays(list_offsets,
+                                                pa.array(flat, patype))
+
+            buf = pa.py_buffer(g["data"].tobytes())
+            if nt and int(g["term_byte_end"][-1]) >= 2**31:
+                raise ValueError(
+                    "re-encoded batch exceeds 2 GiB — pa.binary() int32 "
+                    "offsets would wrap; lower arrow.maxRecordsPerBatch")
+            bin_offsets = np.empty(nt + 1, dtype=np.int32)
+            bin_offsets[:-1] = g["term_byte_start"]
+            bin_offsets[-1] = g["term_byte_end"][-1] if nt else 0
+            data_arr = pa.Array.from_buffers(
+                pa.binary(), nt,
+                [None, pa.py_buffer(bin_offsets.tobytes()), buf])
+
+            yield pa.RecordBatch.from_pydict({
+                "shard": batch.column("shard"),
+                "term": batch.column("term"),
+                "df_local": pa.array(g["df_local"], pa.int64()),
+                "cf_local": pa.array(g["cf_local"], pa.int64()),
+                "n_postings": pa.array(g["df_local"], pa.int64()),
+                "max_tf": pa.array(g["max_tf"], pa.int64()),
+                "min_dl": pa.array(g["min_dl"], pa.int64()),
+                "block_first": _list(g["block_first"], pa.int64()),
+                "block_last": _list(g["block_last"], pa.int64()),
+                "block_count": _list(g["block_count"], pa.int32()),
+                "block_off": _list(g["block_off"], pa.int64()),
+                "block_max_tf": _list(g["block_max_tf"], pa.int64()),
+                "block_min_dl": _list(g["block_min_dl"], pa.int64()),
+                "data": data_arr,
+            })
+
+    return grouped.mapInArrow(_reenc, schema=SEGMENT_SCHEMA)
 
 
 def tf_from_segments(spark: SparkSession, index_dir: str) -> DataFrame:

@@ -51,6 +51,16 @@ class Manifest:
             json.dump(entry, f)
         os.replace(tmp, self._path(unit))
 
+    def get(self, unit: str) -> dict | None:
+        """The committed entry for ``unit`` (None if absent) — lets resume
+        paths reuse recorded lineage metrics (row counts, corpus stats)
+        instead of recomputing them with extra Spark jobs."""
+        p = self._path(unit)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
     def entries(self) -> list[dict]:
         out = []
         for name in sorted(os.listdir(self.dir)):

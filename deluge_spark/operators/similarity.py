@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (array<float>).
 
-Two paths, one semantics (cosine top-k):
+Paths, one semantics (cosine):
 
 - ``cosine_top_k``: brute-force, pure JVM expressions (zip_with product +
   aggregate fold — sequential fold gives deterministic summation order, so
@@ -9,7 +9,19 @@ Two paths, one semantics (cosine top-k):
   is columnar and pruned, the scale path for batch all-pairs is LSH below.
 - ``rp_lsh_top_k``: random-hyperplane LSH (sign sketch) — bucket candidates
   on any matching band of hyperplane signs, exact cosine re-rank inside the
-  candidate set. Approximate; recall grows with bands.
+  candidate set. Approximate; recall grows with bands. Batch-mode (signs
+  recomputed per call).
+- ``build_ann_index`` / ``ann_index_top_k``: the SERVING path — the sign
+  sketch is computed once and persisted as a (id, band, bucket) parquet
+  table (partitioned by band, bucket-sorted for row-group pruning) next to
+  a (id, vector, norm) table; a query touches only its own buckets plus the
+  candidate re-rank, never the full corpus.
+
+Sign computation runs in ONE Arrow stage (``mapInArrow``): the plane matrix
+is regenerated deterministically from (dim, n_planes, seed) inside each
+task and applied as a numpy matmul per batch — no n_planes×dim literal
+expression trees (8k+ literals at dim 512 made codegen cost grow with dim)
+and no driver ``first()`` peek to learn the dimension.
 
 Vectors are cast to double before any arithmetic (float32 storage, float64
 math — matches the DuckDB oracle exactly).
@@ -17,8 +29,11 @@ math — matches the DuckDB oracle exactly).
 
 from __future__ import annotations
 
+import json
+import os
+
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -52,42 +67,147 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
+def _band_buckets(signs: np.ndarray, bands: int) -> np.ndarray:
+    """(n, n_planes) bool sign matrix → (n, bands) int64 bucket ids: each
+    band's bucket is the exact bit pattern of its sign rows (no hash — two
+    vectors share a bucket iff their band signs are identical)."""
+    n, n_planes = signs.shape
+    rows = n_planes // bands
+    weights = (np.int64(1) << np.arange(rows, dtype=np.int64))
+    return signs.reshape(n, bands, rows).astype(np.int64) @ weights
+
+
+def sign_sketch(df: DataFrame, id_col: str = "vec_id",
+                vec_col: str = "embedding", n_planes: int = 16,
+                bands: int = 4, seed: int = 42) -> DataFrame:
+    """(id, vector) → exploded (id, band, bucket) sign sketch — ONE Arrow
+    stage, numpy matmul per batch, planes regenerated from (dim, n_planes,
+    seed) inside each task (deterministic, nothing broadcast, no driver
+    peek for the dimension)."""
+    if n_planes % bands:
+        raise ValueError("n_planes must be divisible by bands")
+    src = df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+
+    def _stage(it):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        planes_t = None
+        for batch in it:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            varr = batch.column("v")
+            lens = pc.list_value_length(varr).to_numpy(zero_copy_only=False)
+            dim = int(lens[0])
+            if not (lens == dim).all():
+                raise ValueError("embedding column has ragged dimensions")
+            if planes_t is None:
+                planes_t = _hyperplanes(dim, n_planes, seed).T  # dim×planes
+            m = varr.flatten().to_numpy(
+                zero_copy_only=False).reshape(n, dim)
+            buckets = _band_buckets(m @ planes_t > 0, bands)
+            ids = batch.column("id").to_numpy(zero_copy_only=False)
+            yield pa.RecordBatch.from_pydict({
+                "id": pa.array(np.repeat(ids, bands), pa.int64()),
+                "band": pa.array(
+                    np.tile(np.arange(bands, dtype=np.int32), n), pa.int32()),
+                "bucket": pa.array(buckets.reshape(-1), pa.int64()),
+            })
+
+    return src.mapInArrow(_stage, schema="id long, band int, bucket long")
+
+
+def _query_buckets(query_vec, n_planes: int, bands: int,
+                   seed: int) -> np.ndarray:
+    q = np.asarray(query_vec, dtype=np.float64)
+    planes = _hyperplanes(len(q), n_planes, seed)
+    return _band_buckets((planes @ q > 0)[None, :], bands)[0]
+
+
 def rp_lsh_top_k(df: DataFrame, query_vec: list[float], k: int = 10,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  n_planes: int = 16, bands: int = 4, seed: int = 42,
                  exclude_id: int | None = None, round_dp: int = 6) -> DataFrame:
-    """LSH-bucketed approximate cosine top-k.
+    """LSH-bucketed approximate cosine top-k, batch mode (the corpus sketch
+    is computed in this call — for repeated queries persist it once with
+    ``build_ann_index`` and serve with ``ann_index_top_k``).
 
     Signs against ``n_planes`` random hyperplanes, grouped into ``bands``;
     a vector is a candidate if ANY band's sign-pattern matches the query's.
-    Exact cosine re-rank on candidates. At scale the sign computation is a
-    narrow JVM stage and the bucket filter prunes the scan before the
-    expensive re-rank.
+    Exact cosine re-rank on candidates.
     """
-    q = np.asarray(query_vec, dtype=np.float64)
-    planes = _hyperplanes(len(q), n_planes, seed)
-    rows = n_planes // bands
-    q_signs = (planes @ q > 0).astype(int)
-
-    v = _as_double(vec_col)
-    sign_cols = []
-    for p in planes:
-        parr = F.array(*[F.lit(float(x)) for x in p])
-        sign_cols.append(F.when(_dot(v, parr) > 0, 1).otherwise(0))
-    signs = F.array(*sign_cols)
-
-    band_match = None
+    qb = _query_buckets(query_vec, n_planes, bands, seed)
+    sk = sign_sketch(df, id_col, vec_col, n_planes, bands, seed)
+    match = None
     for b in range(bands):
-        expr = None
-        for j in range(rows):
-            i = b * rows + j
-            c = F.element_at(signs, i + 1) == int(q_signs[i])
-            expr = c if expr is None else (expr & c)
-        band_match = expr if band_match is None else (band_match | expr)
-
-    cand = df.filter(band_match)
+        c = (F.col("band") == b) & (F.col("bucket") == int(qb[b]))
+        match = c if match is None else (match | c)
+    cand_ids = sk.filter(match).select("id").distinct()
+    cand = df.join(cand_ids.withColumnRenamed("id", id_col), id_col,
+                   "left_semi")
     return cosine_top_k(cand, query_vec, k, id_col, vec_col, exclude_id,
                         round_dp)
+
+
+def build_ann_index(df: DataFrame, index_dir: str, id_col: str = "vec_id",
+                    vec_col: str = "embedding", n_planes: int = 16,
+                    bands: int = 4, seed: int = 42) -> dict:
+    """Persist the ANN serving index: ``sketch/`` (id, bucket) partitioned
+    by band and bucket-sorted (parquet row-group pruning serves a bucket
+    lookup without scanning the band), ``vectors/`` (id, v, nrm) for the
+    exact re-rank, and ``meta.json`` (n_planes, bands, seed, dim) so queries
+    reproduce the exact same hyperplanes. Build cost: one corpus pass."""
+    os.makedirs(index_dir, exist_ok=True)
+    spark = df.sparkSession
+    sk = sign_sketch(df, id_col, vec_col, n_planes, bands, seed)
+    (sk.repartition("band").sortWithinPartitions("bucket", "id")
+     .write.mode("overwrite").partitionBy("band")
+     .parquet(os.path.join(index_dir, "sketch")))
+    vecs = df.select(F.col(id_col).alias("id"),
+                     _as_double(vec_col).alias("v"))
+    vecs = vecs.withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    vecs.write.mode("overwrite").parquet(os.path.join(index_dir, "vectors"))
+    row = spark.read.parquet(os.path.join(index_dir, "vectors")).select(
+        F.count(F.lit(1)).alias("n"), F.max(F.size("v")).alias("dim")
+    ).collect()[0]
+    meta = {"n_planes": n_planes, "bands": bands, "seed": seed,
+            "dim": int(row["dim"] or 0), "n_vectors": int(row["n"])}
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def ann_index_top_k(spark: SparkSession, index_dir: str,
+                    query_vec: list[float], k: int = 10,
+                    exclude_id: int | None = None,
+                    round_dp: int = 6) -> DataFrame:
+    """Serve a cosine top-k from a persisted ANN index: bucket lookup on the
+    sketch table (band partition pruning + bucket predicate pushdown — the
+    corpus is never rescanned), exact float64 re-rank over the candidates.
+    → (vec_id, sim), same deterministic ordering as ``cosine_top_k``."""
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    q = [float(x) for x in query_vec]
+    if len(q) != meta["dim"]:
+        raise ValueError(f"query dim {len(q)} != index dim {meta['dim']}")
+    qb = _query_buckets(q, meta["n_planes"], meta["bands"], meta["seed"])
+    sk = spark.read.parquet(os.path.join(index_dir, "sketch"))
+    match = None
+    for b in range(meta["bands"]):
+        c = (F.col("band") == b) & (F.col("bucket") == int(qb[b]))
+        match = c if match is None else (match | c)
+    cand_ids = sk.filter(match).select("id").distinct()
+    vecs = spark.read.parquet(os.path.join(index_dir, "vectors"))
+    cand = vecs.join(cand_ids, "id", "left_semi")
+    qnorm = float(np.sqrt(np.dot(q, q)))
+    qarr = F.array(*[F.lit(x) for x in q])
+    sim = _dot(F.col("v"), qarr) / (F.col("nrm") * F.lit(qnorm))
+    out = cand.select(F.col("id").alias("vec_id"),
+                      F.round(sim, round_dp).alias("sim"))
+    if exclude_id is not None:
+        out = out.filter(F.col("vec_id") != exclude_id)
+    return out.orderBy(F.col("sim").desc(), F.col("vec_id").asc()).limit(k)
 
 
 def cosine_near_pairs(df: DataFrame, threshold: float,
@@ -118,43 +238,23 @@ def cosine_near_pairs_lsh(df: DataFrame, threshold: float,
                           round_dp: int = 6) -> DataFrame:
     """Embedding-cosine near-dup pairs via random-hyperplane LSH blocking.
 
-    Sign-sketch each vector against ``n_planes`` hyperplanes (one narrow JVM
-    stage), band the signs; vectors sharing ANY band bucket become candidate
+    Sign-sketch each vector against ``n_planes`` hyperplanes (one Arrow
+    matmul stage), band the signs; vectors sharing ANY band bucket become candidate
     pairs (never an all-pairs stage), then candidates are verified with the
     exact cosine ≥ threshold. Recall follows the sign-agreement S-curve
     (P[sign match] = 1 − θ/π per plane) — raise ``bands`` / lower rows per
     band for higher recall at lower thresholds."""
-    if n_planes % bands:
-        raise ValueError("n_planes must be divisible by bands")
-    rows = n_planes // bands
-    # dim from one row (driver-side peek; schemas with fixed-size arrays
-    # could supply this statically)
-    first = df.select(F.size(_as_double(vec_col)).alias("d")).first()
-    if first is None:
-        return df.sparkSession.createDataFrame(
-            [], "id_a long, id_b long, sim double")
-    planes = _hyperplanes(int(first["d"]), n_planes, seed)
-
+    keyed = sign_sketch(df, id_col, vec_col, n_planes, bands, seed)
+    cand = (keyed.alias("x").join(
+        keyed.alias("y"),
+        (F.col("x.band") == F.col("y.band"))
+        & (F.col("x.bucket") == F.col("y.bucket"))
+        & (F.col("x.id") < F.col("y.id")))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct())
     base = (df.select(F.col(id_col).alias("id"),
                       _as_double(vec_col).alias("v"))
             .withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v")))))
-    sign_cols = []
-    for p in planes:
-        parr = F.array(*[F.lit(float(x)) for x in p])
-        sign_cols.append(F.when(_dot(F.col("v"), parr) > 0, 1).otherwise(0))
-    base = base.withColumn("_signs", F.array(*sign_cols))
-    keyed = base.select(
-        "id",
-        F.explode(F.array(*[
-            F.hash(F.slice("_signs", b * rows + 1, rows).cast("string"),
-                   F.lit(b))
-            for b in range(bands)
-        ])).alias("bkey"))
-    cand = (keyed.alias("x").join(
-        keyed.alias("y"),
-        (F.col("x.bkey") == F.col("y.bkey")) & (F.col("x.id") < F.col("y.id")))
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .distinct())
     va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
                      F.col("nrm").alias("na"))
     vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),

@@ -85,6 +85,84 @@ def read_sliced_scroll(spark: SparkSession, fetch_page: FetchPage,
     return parsed.select("slice_id", "_r.*")
 
 
+class es_fetch_page:
+    """Reference ``FetchPage`` implementation for a live Elasticsearch
+    cluster over plain HTTP (stdlib urllib — no client dependency), binding
+    the public sliced-scroll API exactly as the reference walks its scroll
+    cursor (/root/reference/elastic/v7/reader.go:18-40 issues scroll.Do
+    until zero hits = io.EOF; /root/reference/elastic/v7/client.go:245-249
+    opens the scroll with a page size). UNTESTED against a live cluster in
+    this sandbox (none available) — exercised by tests against a fake HTTP
+    server that validates the exact request shapes.
+
+    Request shapes (public ES API):
+      first page  → POST {base}/{index}/_search?scroll={keep_alive}
+                    {"size": N, "sort": ["_doc"],
+                     "slice": {"id": sid, "max": n_slices},   # if slices>1
+                     "query": ...}
+      next pages  → POST {base}/_search/scroll
+                    {"scroll": keep_alive, "scroll_id": token}
+      exhaustion  → DELETE {base}/_search/scroll {"scroll_id": token}
+
+    Rows are each hit's ``_source`` (with ``_id`` injected when
+    ``include_id``); termination is the empty-hits page, matching the
+    reference's io.EOF contract. Instances are picklable (plain attrs), so
+    executors can call them inside ``read_sliced_scroll``."""
+
+    def __init__(self, base_url: str, index: str, page_size: int = 1000,
+                 keep_alive: str = "5m", query: dict | None = None,
+                 include_id: bool = False, timeout_s: float = 60.0):
+        self.base_url = base_url.rstrip("/")
+        self.index = index
+        self.page_size = page_size
+        self.keep_alive = keep_alive
+        self.query = query or {"match_all": {}}
+        self.include_id = include_id
+        self.timeout_s = timeout_s
+
+    def _http(self, method: str, url: str, body: dict) -> dict:
+        import urllib.request
+
+        req = urllib.request.Request(
+            url, data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"}, method=method)
+        with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+            return json.loads(resp.read())
+
+    def __call__(self, slice_id: int, n_slices: int,
+                 token: object) -> tuple[list[dict], object]:
+        if token is None:
+            body: dict = {"size": self.page_size, "sort": ["_doc"],
+                          "query": self.query}
+            if n_slices > 1:
+                body["slice"] = {"id": slice_id, "max": n_slices}
+            res = self._http(
+                "POST",
+                f"{self.base_url}/{self.index}/_search"
+                f"?scroll={self.keep_alive}", body)
+        else:
+            res = self._http(
+                "POST", f"{self.base_url}/_search/scroll",
+                {"scroll": self.keep_alive, "scroll_id": token})
+        hits = res.get("hits", {}).get("hits", [])
+        scroll_id = res.get("_scroll_id")
+        if not hits:
+            if scroll_id:  # free server-side scroll state
+                try:
+                    self._http("DELETE", f"{self.base_url}/_search/scroll",
+                               {"scroll_id": scroll_id})
+                except Exception:
+                    pass  # best-effort cleanup; the cursor expires anyway
+            return [], None
+        rows = []
+        for h in hits:
+            src = dict(h.get("_source", {}))
+            if self.include_id:
+                src["_id"] = h.get("_id")
+            rows.append(src)
+        return rows, scroll_id
+
+
 def scroll_summary(df: DataFrame) -> dict:
     """Per-slice row counts + total — the reference's pre-ingest summary
     (input.go:60-66) computed post-hoc from the exported frame."""

@@ -3,11 +3,20 @@
 The reference is a one-shot batch ingester; its closest long-running mode is
 repeatedly pointing it at new input directories. Structured Streaming
 subsumes that: ``readStream`` over an arriving-files directory, with
-``foreachBatch`` running the same tokenize → tf-append path as the batch
-build (exactly-once per micro-batch via the streaming checkpoint +
-idempotent per-batch manifest units). Segments are built/refreshed by a
-periodic compaction call (``finalize_segments``) — the classic
-near-real-time search pattern (in-memory/batch deltas + periodic merge).
+``foreachBatch`` running the SAME single-pass tokenize+encode as the batch
+build (``_tokenize_encode_partials``): each micro-batch checkpoints
+compressed partial posting lists (~5 B/posting on disk and across the Arrow
+boundary — not 30 B raw tf rows), exactly-once via the streaming checkpoint
++ idempotent per-batch manifest units. ``finalize_segments`` periodically
+compacts the accumulated partials into searchable segments — the classic
+near-real-time pattern (delta runs + periodic merge).
+
+Merge semantics: unlike the batch build, whose tokenize groups are doc-RANGE
+buckets (partials concatenate by byte append), micro-batches see doc_ids in
+ARRIVAL order, so per-batch partials of one (shard, term) can interleave in
+doc range. The finalize therefore uses ``_merge_partials_reencode`` —
+decode the self-contained blocks, merge-sort, re-encode (LSM compaction) —
+which is correct for any arrival order.
 
 Also provides the watermarked windowed aggregation over an event stream
 (late-data handling) — the standard streaming-analytics surface.
@@ -20,7 +29,6 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from deluge_spark.functions.tokenizer import term_counts
 from deluge_spark.index.build import BuildConfig
 from deluge_spark.index.manifest import Manifest
 
@@ -29,16 +37,18 @@ def stream_ingest_corpus(spark: SparkSession, source_dir: str,
                          index_dir: str, schema: str,
                          config: BuildConfig | None = None,
                          checkpoint_dir: str | None = None):
-    """Start a streaming query appending per-micro-batch tf checkpoints.
+    """Start a streaming query appending per-micro-batch compressed partial
+    posting lists (plus per-doc meta rows) under
+    ``partials/group=stream_<epoch>/``.
 
     Returns the StreamingQuery; call ``finalize_segments`` after (or
-    periodically) to fold accumulated tf into searchable segments.
-    Each micro-batch writes ``tf/group=stream_<epoch>/`` plus a manifest
-    unit — the same resumable layout as the batch build.
+    periodically) to compact accumulated partials into searchable segments.
     """
+    from deluge_spark.index.build import _tokenize_encode_partials
+
     cfg = config or BuildConfig()
     man = Manifest(index_dir)
-    tf_path = os.path.join(index_dir, "tf")
+    partials_path = os.path.join(index_dir, "partials")
 
     src = (spark.readStream.schema(schema)
            .option("maxFilesPerTrigger", "16")
@@ -50,11 +60,10 @@ def stream_ingest_corpus(spark: SparkSession, source_dir: str,
             return
         if "doc_id" not in batch_df.columns:
             raise ValueError("streaming source must carry doc_id")
-        tf = term_counts(batch_df, "doc_id", "content", cfg.tokenizer_mode)
-        tf = tf.withColumn(
-            "shard", F.pmod(F.col("doc_id"), F.lit(cfg.num_shards)).cast("int"))
-        out = os.path.join(tf_path, f"group=stream_{epoch}")
-        tf.write.mode("overwrite").partitionBy("shard").parquet(out)
+        partials = _tokenize_encode_partials(
+            batch_df, "content", cfg.tokenizer_mode, cfg.num_shards)
+        out = os.path.join(partials_path, f"group=stream_{epoch}")
+        partials.write.mode("overwrite").partitionBy("shard").parquet(out)
         man.commit(unit, rows=spark.read.parquet(out).count(), epoch=epoch)
 
     q = (src.writeStream.foreachBatch(_per_batch)
@@ -67,26 +76,32 @@ def stream_ingest_corpus(spark: SparkSession, source_dir: str,
 
 def finalize_segments(spark: SparkSession, index_dir: str,
                       num_shards: int | None = None) -> dict:
-    """Fold the streaming tf checkpoints into searchable segments + stats —
-    the periodic compaction of the near-real-time pattern. Returns summary.
+    """Compact the streaming partial checkpoints into searchable segments +
+    stats — the periodic merge of the near-real-time pattern. Correct for
+    overlapping per-batch doc ranges (see module doc). Returns summary.
     """
-    from deluge_spark.index.build import _build_segments
+    from deluge_spark.index.build import _merge_partials_reencode
 
-    tf_path = os.path.join(index_dir, "tf")
-    groups = [os.path.join(tf_path, d) for d in sorted(os.listdir(tf_path))
-              if d.startswith("group=")]
-    tf = spark.read.option("basePath", tf_path).parquet(*groups)
+    partials_path = os.path.join(index_dir, "partials")
+    groups = [os.path.join(partials_path, d)
+              for d in sorted(os.listdir(partials_path))
+              if d.startswith("group=stream_")]
+    partials = spark.read.option("basePath", partials_path).parquet(*groups)
     if num_shards is None:
-        num_shards = 1 + int(tf.agg(F.max("shard")).collect()[0][0] or 0)
+        num_shards = 1 + int(partials.agg(F.max("shard")).collect()[0][0] or 0)
 
-    dl_df = tf.groupBy("doc_id").agg(F.max("dl").cast("long").alias("dl"))
+    # per-doc meta rows (term IS NULL, first_doc=doc_id, df_p=dl) came out
+    # of the same single tokenize pass; a doc lives in exactly one batch
+    dl_df = (partials.filter(F.col("term").isNull())
+             .select(F.col("first_doc").alias("doc_id"),
+                     F.col("df_p").cast("long").alias("dl")))
     dl_df.write.mode("overwrite").parquet(os.path.join(index_dir, "docs_meta"))
     dl_df = spark.read.parquet(os.path.join(index_dir, "docs_meta"))
     row = dl_df.agg(F.count(F.lit(1)).alias("n"),
                     F.avg("dl").alias("avgdl")).collect()[0]
     n_docs, avgdl = int(row["n"] or 0), float(row["avgdl"] or 0.0)
 
-    seg = _build_segments(tf)
+    seg = _merge_partials_reencode(partials.filter(F.col("term").isNotNull()))
     seg.write.mode("overwrite").partitionBy("shard").parquet(
         os.path.join(index_dir, "segments", "batch=stream"))
 

@@ -301,3 +301,38 @@ def test_signatures_on_50k_distinct_token_doc(spark):
         want_fp[did] = fp - (1 << 64) if fp >= (1 << 63) else fp
     got_fp = {r.id: r.simhash for r in simhash(df).collect()}
     assert got_fp == want_fp
+
+
+def test_ann_index_persisted_serves_queries(vectors, tmp_path):
+    """build_ann_index persists the sign sketch + vectors once; queries are
+    served from bucket lookups and match (a) the batch rp_lsh path exactly
+    and (b) brute force on the planted-neighbor fixture. The corpus is
+    never rescanned at query time — the query plan reads only the index
+    tables."""
+    from deluge_spark.operators.similarity import (
+        ann_index_top_k,
+        build_ann_index,
+    )
+
+    df, vs = vectors
+    d = str(tmp_path / "ann_idx")
+    meta = build_ann_index(df, d, n_planes=16, bands=8)
+    assert meta["dim"] == 16 and meta["n_vectors"] == 100
+    spark = df.sparkSession
+
+    got = ann_index_top_k(spark, d, list(vs[0]), 5, exclude_id=0)
+    batch = rp_lsh_top_k(df, list(vs[0]), 5, n_planes=16, bands=8,
+                         exclude_id=0)
+    a = [(r.vec_id, r.sim) for r in got.collect()]
+    b = [(r.vec_id, r.sim) for r in batch.collect()]
+    assert a == b
+    assert a[0][0] == 1                       # the planted neighbor
+    brute = [(r.vec_id, r.sim)
+             for r in cosine_top_k(df, list(vs[0]), 1, exclude_id=0).collect()]
+    assert a[0] == brute[0]
+
+    # serving plan reads the persisted parquet index (no in-memory corpus
+    # scan) with the bucket equality predicates pushed to the sketch scan
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" not in plan
+    assert "EqualTo(bucket" in plan and "PushedFilters" in plan

@@ -102,3 +102,92 @@ def test_none_token_with_rows_terminates_slice(spark):
         max_pages_per_slice=50)  # tight: a restart loop would blow this
     rows = df.collect()
     assert sorted(r["doc_id"] for r in rows) == list(range(N_DOCS))
+
+
+def test_es_fetch_page_request_shapes(spark):
+    """es_fetch_page against a fake ES HTTP server: validates the exact
+    sliced-scroll request shapes (_search?scroll first page with slice
+    body, _search/scroll continuations, DELETE cleanup) and that the
+    connector exports every doc exactly once through real HTTP."""
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from deluge_spark.sources.scroll import es_fetch_page
+
+    N, PAGE_SZ, SLICES = 57, 10, 3
+    state = {"cursors": {}, "next": 0, "deletes": [], "firsts": [],
+             "conts": []}
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _reply(self, obj):
+            b = _json.dumps(obj).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(b)))
+            self.end_headers()
+            self.wfile.write(b)
+
+        def _body(self):
+            n = int(self.headers.get("Content-Length", 0))
+            return _json.loads(self.rfile.read(n)) if n else {}
+
+        def do_POST(self):
+            body = self._body()
+            with lock:
+                if self.path.startswith("/docs/_search?scroll="):
+                    # first page: slice + size + sort in the body
+                    assert body["size"] == PAGE_SZ
+                    assert body["sort"] == ["_doc"]
+                    assert body["query"] == {"match_all": {}}
+                    sl = body["slice"]
+                    assert sl["max"] == SLICES and 0 <= sl["id"] < SLICES
+                    state["firsts"].append(sl["id"])
+                    ids = [i for i in range(N) if i % SLICES == sl["id"]]
+                    sid = f"cur{state['next']}"
+                    state["next"] += 1
+                    state["cursors"][sid] = (ids, 0)
+                elif self.path == "/_search/scroll":
+                    assert body["scroll"] == "5m"
+                    sid = body["scroll_id"]
+                    state["conts"].append(sid)
+                    ids, off = state["cursors"][sid]
+                    state["cursors"][sid] = (ids, off + PAGE_SZ)
+                else:
+                    raise AssertionError(self.path)
+                ids, off = state["cursors"][sid]
+                page = ids[off:off + PAGE_SZ]
+                self._reply({
+                    "_scroll_id": sid,
+                    "hits": {"hits": [
+                        {"_id": str(i),
+                         "_source": {"doc_id": i, "lang": "en",
+                                     "text": f"doc {i}"}} for i in page]},
+                })
+
+        def do_DELETE(self):
+            body = self._body()
+            with lock:
+                state["deletes"].append(body["scroll_id"])
+            self._reply({"succeeded": True})
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        fetch = es_fetch_page(f"http://127.0.0.1:{srv.server_port}", "docs",
+                              page_size=PAGE_SZ)
+        df = read_sliced_scroll(
+            spark, fetch, n_slices=SLICES,
+            schema="doc_id long, lang string, text string")
+        rows = df.collect()
+        assert sorted(r["doc_id"] for r in rows) == list(range(N))
+        with lock:
+            assert sorted(state["firsts"]) == list(range(SLICES))
+            assert len(state["deletes"]) == SLICES  # cleanup per slice
+    finally:
+        srv.shutdown()

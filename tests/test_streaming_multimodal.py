@@ -20,7 +20,7 @@ from deluge_spark.streaming.ingest import (
 )
 
 
-def test_stream_ingest_builds_tf(spark, corpus_pdf, tmp_path_factory):
+def test_stream_ingest_builds_partials(spark, corpus_pdf, tmp_path_factory):
     src = str(tmp_path_factory.mktemp("stream_src"))
     idx = str(tmp_path_factory.mktemp("stream_idx"))
     pdf = corpus_pdf.copy().reset_index(drop=True)
@@ -36,14 +36,27 @@ def test_stream_ingest_builds_tf(spark, corpus_pdf, tmp_path_factory):
     man = Manifest(idx)
     units = [e["unit"] for e in man.entries()]
     assert any(u.startswith("stream_tokenize_e") for u in units)
-    tf = spark.read.option("basePath", f"{idx}/tf").parquet(f"{idx}/tf/*")
-    assert tf.count() > 0
-    assert set(tf.columns) >= {"doc_id", "term", "tf", "shard"}
+    # micro-batches checkpoint COMPRESSED partials (posting bytes), not raw
+    # tf rows — the partials schema with per-doc meta rows (term IS NULL)
+    parts = (spark.read.option("basePath", f"{idx}/partials")
+             .parquet(f"{idx}/partials/*"))
+    assert parts.count() > 0
+    assert set(parts.columns) >= {"term", "first_doc", "df_p", "data", "shard"}
+    # one meta row per doc that has >=1 token (same contract as the batch
+    # build's docs_meta — tokenless docs carry no dl)
+    from deluge_spark.operators.dedup import tokens_col
+    n_tokenful = (spark.read.parquet(src)
+                  .filter(F.size(tokens_col("content", "code")) > 0).count())
+    assert parts.filter(F.col("term").isNull()).count() == n_tokenful
+    assert not os.path.exists(f"{idx}/tf")  # raw tf path is gone
 
 
 def test_stream_finalize_searchable(spark, corpus_pdf, tmp_path_factory):
-    """Stream-ingested tf folded into segments must answer queries
-    identically to a batch-built index over the same docs."""
+    """Stream-ingested partials compacted into segments must answer queries
+    identically to a batch-built index over the same docs — across MULTIPLE
+    triggers whose doc ranges deliberately interleave (docs shuffled across
+    many small files, maxFilesPerTrigger=16 → several micro-batches), the
+    case the concat merge cannot handle and the re-encode compaction must."""
     from deluge_spark.index.build import BuildConfig as BC, build_index
     from deluge_spark.index.search import Searcher
     from deluge_spark.streaming.ingest import finalize_segments
@@ -53,15 +66,32 @@ def test_stream_finalize_searchable(spark, corpus_pdf, tmp_path_factory):
     bidx = str(tmp_path_factory.mktemp("sf_bidx"))
     pdf = corpus_pdf.copy().reset_index(drop=True).head(150)
     pdf["doc_id"] = range(len(pdf))
+    # shuffle rows so every file (→ every micro-batch) spans the full doc
+    # range: per-batch partials of one term overlap maximally
+    pdf = pdf.sample(frac=1.0, random_state=7).reset_index(drop=True)
     df = spark.createDataFrame(pdf)
-    df.repartition(3).write.mode("overwrite").parquet(src)
+    df.repartition(40).write.mode("overwrite").parquet(src)
     schema = ("repo string, path string, commit string, lang string, "
               "content string, doc_id long")
 
     q = stream_ingest_corpus(spark, src, sidx, schema,
                              BuildConfig(num_shards=4))
     q.awaitTermination(120)
+    man = Manifest(sidx)
+    tok_units = [e for e in man.entries()
+                 if e["unit"].startswith("stream_tokenize_e")]
+    assert len(tok_units) >= 2          # genuinely multi-trigger
     finalize_segments(spark, sidx, num_shards=4)
+
+    # posting lists must come out doc-sorted despite interleaved batches
+    from deluge_spark.index.build import read_segments
+    from deluge_spark.index.codec import decode_list
+    import numpy as np
+    for r in read_segments(spark, sidx).limit(50).collect():
+        d, _, _ = decode_list(bytes(r["data"]), r["block_off"],
+                              r["block_count"], r["block_first"],
+                              r["block_last"])
+        assert np.all(np.diff(d) > 0), r["term"]
 
     build_index(spark, df, bidx, BC(num_shards=4, tokenize_groups=2,
                                     shard_batches=1))
