@@ -48,3 +48,21 @@ def test_existing_doc_id_sparse_rejected(spark):
                                 "doc_id long, content string")
     with pytest.raises(ValueError, match="dense"):
         assign_doc_ids(dup)
+
+
+def test_unpersist_assigned_releases_cache(spark, corpus_df):
+    """The cache pinned by assign_doc_ids must actually be released by
+    unpersist_assigned — unpersisting the returned (withColumn-derived)
+    frame directly is a plan-mismatch no-op that leaks a corpus-sized
+    cache for the session."""
+    from deluge_spark.operators.doc_ids import assign_doc_ids, unpersist_assigned
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = len(jsc.getRDDStorageInfo())
+    # a plan distinct from every other test's (limit value) — an identical
+    # plan would dedupe against an earlier test's cache entry
+    out = assign_doc_ids(corpus_df.limit(137))
+    out.count()  # materialize the cache
+    assert len(jsc.getRDDStorageInfo()) > before
+    unpersist_assigned(out)
+    assert len(jsc.getRDDStorageInfo()) == before
