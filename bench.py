@@ -130,6 +130,16 @@ def main() -> None:
     searcher.search("data value", 10, filters={"lang": "en"},
                     mode="distributed").collect()
     timings["q_distributed_filtered"] = round(time.time() - t0, 4)
+    # reindex / clone to a new layout (no re-tokenize): exercises the
+    # vectorized segments→postings decode (Arrow buffer-level, np.repeat)
+    from deluge_spark.plans.admin import reindex
+    re_dir = tempfile.mkdtemp(prefix="deluge_bench_reindex_")
+    t0 = time.time()
+    reindex(spark, idx, re_dir, BuildConfig(
+        num_shards=4, store_content=False, shuffle_partitions=2 * cpus))
+    timings["op_reindex"] = round(time.time() - t0, 4)
+    shutil.rmtree(re_dir, ignore_errors=True)
+
     lat.sort()
     p50 = lat[len(lat) // 2]
     p95 = lat[min(len(lat) - 1, int(len(lat) * 0.95))]
