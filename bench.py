@@ -107,10 +107,16 @@ def main() -> None:
     lat = []
     for name, qtext, k in BENCH_QUERIES:
         t0 = time.time()
-        searcher.search_local(qtext, k)
+        searcher.search_local(qtext, k)   # default cost-based auto pick
         dt = time.time() - t0
         timings[name] = round(dt, 4)
         lat.append(dt)
+    # pinned-WAND twin of the first query: keeps the DAAT/pruning path
+    # measured even where auto picks taat (small matched volume)
+    t0 = time.time()
+    searcher.search_local(BENCH_QUERIES[0][1], BENCH_QUERIES[0][2],
+                          algo="wand")
+    timings["q_multi_wand"] = round(time.time() - t0, 4)
     # repeat of the first query: all terms now in the driver LRU → zero
     # Spark jobs (the ES/Lucene query-cache serving profile)
     t0 = time.time()

@@ -173,17 +173,19 @@ class Searcher:
     def search_local(self, query: str, k: int = 10,
                      filters: dict[str, str] | None = None,
                      round_dp: int = 9,
-                     algo: str = "wand",
+                     algo: str = "auto",
                      taat_cap: int = 100_000) -> list[tuple[int, float]]:
         """Coordinator-mode search returning a driver-side list — the
         serving-path latency (one Spark job: fetch matched segment rows).
         Same results as ``search(mode='coordinator')`` without the
         result-DataFrame materialization round-trip.
 
-        ``algo``: 'wand' (block-max DAAT, default), 'taat' (vectorized
-        exhaustive — faster when matched postings are few), or 'auto'
-        (taat when Σdf ≤ ``taat_cap``, else wand — Lucene's cost-based
-        pick). All produce the identical ranking."""
+        ``algo``: 'auto' (default — taat when Σdf ≤ ``taat_cap``, else
+        wand; Lucene's cost-based pick, same as the distributed path's
+        per-shard choice), 'taat' (vectorized exhaustive — faster when
+        matched postings are few), or 'wand' (block-max DAAT — the
+        pruning path once matched volume is large). All produce the
+        identical ranking."""
         terms = list(dict.fromkeys(tokenize_py(query, self.mode)))
         if not terms:
             return []

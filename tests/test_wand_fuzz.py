@@ -51,7 +51,9 @@ def test_fuzz_rank_identity(setup):
         filters = {"lang": lang} if lang else None
         fids = lang_ids[lang] if lang else None
 
-        got = searcher.search_local(" ".join(terms), k, filters)
+        # pin WAND: the default is now cost-based 'auto', which would pick
+        # taat at this corpus size and leave the DAAT path unfuzzed
+        got = searcher.search_local(" ".join(terms), k, filters, algo="wand")
         want = oracle.top_k(terms, k, filter_ids=fids, round_dp=9)
         assert [d for d, _ in got] == [d for d, _ in want], \
             f"trial={trial} terms={terms} k={k} lang={lang}"
