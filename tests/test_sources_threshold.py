@@ -44,6 +44,23 @@ def test_read_lines_with_gzip_and_excludes(spark, data_dir):
     assert {r.line for r in df2.collect()} == {"line one", "line two"}
 
 
+def test_read_lines_hadoop_fs_scheme_uri(spark, data_dir):
+    """SURVEY §2A row 3 (HDFS scan source): paths resolve through the
+    Hadoop FileSystem API, so an explicit scheme URI must behave exactly
+    like a bare path. ``file://`` is the scheme testable in this sandbox;
+    ``hdfs://host:port/...`` takes the identical resolution path (only the
+    FileSystem implementation bound to the scheme differs)."""
+    bare = read_lines(spark, [f"{data_dir}/plain.txt"])
+    uri = read_lines(spark, [f"file://{data_dir}/plain.txt"])
+    assert ({r.line for r in uri.collect()}
+            == {r.line for r in bare.collect()}
+            == {"alpha", "beta", "gamma"})
+    # excludes key on basename, which survives scheme-qualified paths
+    none = read_lines(spark, [f"file://{data_dir}/plain.txt"],
+                      excludes=["plain.txt"])
+    assert none.count() == 0
+
+
 def test_read_delimited_null_semantics(spark, data_dir):
     df = read_delimited(spark, [f"{data_dir}/a.csv", f"{data_dir}/b.csv"],
                         schema="id string, name string, score string")
