@@ -4,6 +4,8 @@
   python -m deluge_spark.cli search  --index <index_dir> --query "..." [-k N]
   python -m deluge_spark.cli summary --index <index_dir>
   python -m deluge_spark.cli reindex --index <index_dir> --out <dir> --shards N
+  python -m deluge_spark.cli compact --index <index_dir> [--files-per-shard N]
+  python -m deluge_spark.cli source-summary --corpus <parquet>
 
 On a cluster: ``spark-submit --py-files deluge_spark.zip -m deluge_spark.cli
 ...`` — the module ships itself to executors automatically in local mode.
@@ -66,6 +68,14 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--out", required=True)
     r.add_argument("--shards", type=int, default=8)
 
+    c = sub.add_parser("compact")
+    c.add_argument("--index", required=True)
+    c.add_argument("--files-per-shard", type=int, default=1)
+
+    ss = sub.add_parser("source-summary")
+    ss.add_argument("--corpus", required=True)
+    ss.add_argument("--text-col", default="content")
+
     args = ap.parse_args(argv)
     spark = _spark(args.cores, args.shuffle_partitions)
 
@@ -101,6 +111,16 @@ def main(argv: list[str] | None = None) -> int:
 
         print(json.dumps(reindex(spark, args.index, args.out,
                                  BuildConfig(num_shards=args.shards))))
+    elif args.cmd == "compact":
+        from deluge_spark.plans.admin import compact_segments
+
+        print(json.dumps(compact_segments(spark, args.index,
+                                          args.files_per_shard)))
+    elif args.cmd == "source-summary":
+        from deluge_spark.plans.admin import summarize_source
+
+        print(json.dumps(summarize_source(
+            spark.read.parquet(args.corpus), args.text_col)))
     spark.stop()
     return 0
 

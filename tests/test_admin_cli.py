@@ -79,3 +79,10 @@ def test_cli_end_to_end(spark, corpus_df, tmp_path_factory):
     assert summ["sealed"] and summ["num_shards"] == 2
     hits = run("search", "--index", idx, "--query", "import return", "-k", "3")
     assert 0 < len(hits) <= 3 and all("doc_id" in h for h in hits)
+    srcsum = run("source-summary", "--corpus", src)[-1]
+    assert srcsum["docs"] == summ["n_docs"] and srcsum["bytes"] > 0
+    comp = run("compact", "--index", idx, "--files-per-shard", "1")[-1]
+    assert comp["files"] == 2  # one file per shard
+    hits2 = run("search", "--index", idx, "--query", "import return",
+                "-k", "3")
+    assert hits2 == hits  # compaction preserves results through the CLI
