@@ -6,6 +6,13 @@
   python -m deluge_spark.cli reindex --index <index_dir> --out <dir> --shards N
   python -m deluge_spark.cli compact --index <index_dir> [--files-per-shard N]
   python -m deluge_spark.cli source-summary --corpus <parquet>
+  python -m deluge_spark.cli ingest --input <dir|files> --format jsonl \
+      --schema "id string, content string" --out <index_dir>
+
+``ingest`` is the reference's end-to-end workflow (point at raw files,
+get a searchable index): lenient parse (CSV/TSV/JSONL/plain lines) →
+error-threshold gate on corrupt rows → index build. ``build`` is the
+same thing for an already-parsed parquet corpus.
 
 On a cluster: ``spark-submit --py-files deluge_spark.zip -m deluge_spark.cli
 ...`` — the module ships itself to executors automatically in local mode.
@@ -76,6 +83,27 @@ def main(argv: list[str] | None = None) -> int:
     ss.add_argument("--corpus", required=True)
     ss.add_argument("--text-col", default="content")
 
+    ing = sub.add_parser("ingest")
+    ing.add_argument("--input", required=True, nargs="+")
+    ing.add_argument("--format", choices=["jsonl", "csv", "tsv", "lines"],
+                     default="jsonl")
+    ing.add_argument("--schema", default=None,
+                     help="DDL schema for jsonl/csv/tsv (enables the "
+                          "corrupt-row threshold gate for jsonl)")
+    ing.add_argument("--header", action="store_true")
+    ing.add_argument("--content-col", default="content")
+    ing.add_argument("--exclude", action="append", default=[],
+                     help="exact basename to exclude, repeatable")
+    ing.add_argument("--error-threshold", type=float, default=0.05)
+    ing.add_argument("--key-cols", default=None,
+                     help="comma-separated columns forming the stable "
+                          "doc-id sort key (default: whichever of "
+                          "repo,path,commit exist, else all columns)")
+    ing.add_argument("--out", required=True)
+    ing.add_argument("--shards", type=int, default=8)
+    ing.add_argument("--tokenizer", choices=["code", "simple"],
+                     default="code")
+
     args = ap.parse_args(argv)
     spark = _spark(args.cores, args.shuffle_partitions)
 
@@ -121,6 +149,58 @@ def main(argv: list[str] | None = None) -> int:
 
         print(json.dumps(summarize_source(
             spark.read.parquet(args.corpus), args.text_col)))
+    elif args.cmd == "ingest":
+        from pyspark.sql import functions as F
+
+        from deluge_spark.index.build import BuildConfig, build_index
+        from deluge_spark.operators.threshold import check_corrupt_ratio
+        from deluge_spark.sources.readers import (
+            read_delimited,
+            read_json_lines,
+            read_lines,
+        )
+
+        excludes = args.exclude or None
+        gate = None
+        if args.format == "jsonl":
+            df = read_json_lines(spark, args.input, schema=args.schema,
+                                 excludes=excludes)
+            if args.schema:
+                gate = check_corrupt_ratio(
+                    df, F.col("_corrupt").isNotNull(),
+                    args.error_threshold, sample_col="_corrupt")
+                df = df.filter(F.col("_corrupt").isNull()).drop("_corrupt")
+        elif args.format in ("csv", "tsv"):
+            df = read_delimited(
+                spark, args.input,
+                sep="," if args.format == "csv" else "\t",
+                schema=args.schema, header=args.header, excludes=excludes)
+        else:  # lines: whole file of text, one doc per line
+            df = (read_lines(spark, args.input, excludes=excludes)
+                  .withColumnRenamed("line", "content"))
+        if args.content_col != "content":
+            df = df.withColumnRenamed(args.content_col, "content")
+        if "content" not in df.columns:
+            raise SystemExit(
+                f"no content column after parse (--content-col "
+                f"{args.content_col}; parsed columns: {df.columns})")
+        df = df.filter(F.col("content").isNotNull())
+        # raw inputs rarely carry the (repo, path, commit) natural key the
+        # build's id assignment defaults to — key on what exists
+        if "doc_id" not in df.columns:
+            from deluge_spark.operators.doc_ids import (
+                NATURAL_KEY,
+                assign_doc_ids,
+            )
+            key = (tuple(args.key_cols.split(",")) if args.key_cols
+                   else tuple(c for c in NATURAL_KEY if c in df.columns)
+                   or tuple(df.columns))
+            df = assign_doc_ids(df, key_cols=key)
+        metrics = build_index(spark, df, args.out, BuildConfig(
+            num_shards=args.shards, tokenizer_mode=args.tokenizer))
+        if gate is not None:
+            metrics["gate"] = gate
+        print(json.dumps(metrics))
     spark.stop()
     return 0
 

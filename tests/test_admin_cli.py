@@ -86,3 +86,36 @@ def test_cli_end_to_end(spark, corpus_df, tmp_path_factory):
     hits2 = run("search", "--index", idx, "--query", "import return",
                 "-k", "3")
     assert hits2 == hits  # compaction preserves results through the CLI
+
+
+def test_cli_ingest_raw_jsonl(tmp_path_factory):
+    """The reference's end-to-end workflow through the CLI: point at raw
+    JSONL (with a corrupt line under the error budget and an excluded
+    file), get a searchable index."""
+    src = tmp_path_factory.mktemp("ing_src")
+    idx = str(tmp_path_factory.mktemp("ing_idx"))
+    lines = [json.dumps({"id": f"d{i}", "content":
+                         f"alpha document number {i}"}) for i in range(30)]
+    lines.insert(5, '{"id": "bad" BROKEN')          # corrupt, 1/31 < 5%
+    (src / "docs.jsonl").write_text("\n".join(lines) + "\n")
+    (src / "skipme.jsonl").write_text(
+        json.dumps({"id": "x", "content": "poison zzz"}) + "\n")
+
+    def run(*args):
+        p = subprocess.run([sys.executable, "-m", "deluge_spark.cli",
+                            "--cores", "4", *args],
+                           capture_output=True, text=True, timeout=600,
+                           cwd="/root/repo")
+        assert p.returncode == 0, p.stderr[-2000:]
+        return [json.loads(line) for line in p.stdout.splitlines()
+                if line.startswith("{")]
+
+    out = run("ingest", "--input", str(src), "--format", "jsonl",
+              "--schema", "id string, content string",
+              "--exclude", "skipme.jsonl", "--shards", "2",
+              "--out", idx)[-1]
+    assert out["n_docs"] == 30                      # corrupt + excluded dropped
+    assert out["gate"]["errors"] == 1
+    hits = run("search", "--index", idx, "--query", "number", "-k", "5")
+    assert len(hits) == 5
+    assert not run("search", "--index", idx, "--query", "poison")
