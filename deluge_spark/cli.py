@@ -95,6 +95,11 @@ def main(argv: list[str] | None = None) -> int:
     ing.add_argument("--exclude", action="append", default=[],
                      help="exact basename to exclude, repeatable")
     ing.add_argument("--error-threshold", type=float, default=0.05)
+    ing.add_argument("--codec", default=None,
+                     choices=["flate", "zlib", "gzip", "bzip2"],
+                     help="for --format lines: decode whole files with "
+                          "this codec (bare flate/zlib streams Spark "
+                          "cannot decode by extension)")
     ing.add_argument("--key-cols", default=None,
                      help="comma-separated columns forming the stable "
                           "doc-id sort key (default: whichever of "
@@ -176,8 +181,15 @@ def main(argv: list[str] | None = None) -> int:
                 sep="," if args.format == "csv" else "\t",
                 schema=args.schema, header=args.header, excludes=excludes)
         else:  # lines: whole file of text, one doc per line
-            df = (read_lines(spark, args.input, excludes=excludes)
-                  .withColumnRenamed("line", "content"))
+            if args.codec:
+                from deluge_spark.sources.readers import (
+                    read_raw_compressed_lines,
+                )
+                df = read_raw_compressed_lines(
+                    spark, args.input, args.codec, excludes=excludes)
+            else:
+                df = read_lines(spark, args.input, excludes=excludes)
+            df = df.withColumnRenamed("line", "content")
         if args.content_col != "content":
             df = df.withColumnRenamed(args.content_col, "content")
         if "content" not in df.columns:

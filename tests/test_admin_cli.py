@@ -119,3 +119,16 @@ def test_cli_ingest_raw_jsonl(tmp_path_factory):
     hits = run("search", "--index", idx, "--query", "number", "-k", "5")
     assert len(hits) == 5
     assert not run("search", "--index", idx, "--query", "poison")
+
+    # bare-flate lines ingest (codec Spark cannot decode by extension)
+    import zlib
+    fsrc = src / "fl"
+    fsrc.mkdir()
+    body = "\n".join(f"flateline doc {i}" for i in range(8)) + "\n"
+    co = zlib.compressobj(wbits=-15)
+    (fsrc / "a.flate").write_bytes(co.compress(body.encode()) + co.flush())
+    fidx = str(tmp_path_factory.mktemp("fl_idx"))
+    out = run("ingest", "--input", str(fsrc), "--format", "lines",
+              "--codec", "flate", "--shards", "2", "--out", fidx)[-1]
+    assert out["n_docs"] == 8
+    assert len(run("search", "--index", fidx, "--query", "flateline")) == 8
