@@ -58,6 +58,9 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--shards", type=int, default=8)
     b.add_argument("--tokenizer", choices=["code", "simple"], default="code")
     b.add_argument("--groups", type=int, default=4)
+    b.add_argument("--overwrite", action="store_true",
+                   help="allow wiping an existing index built from a "
+                        "different source (otherwise StaleIndexError)")
 
     s = sub.add_parser("search")
     s.add_argument("--index", required=True)
@@ -108,6 +111,9 @@ def main(argv: list[str] | None = None) -> int:
     ing.add_argument("--shards", type=int, default=8)
     ing.add_argument("--tokenizer", choices=["code", "simple"],
                      default="code")
+    ing.add_argument("--overwrite", action="store_true",
+                     help="allow wiping an existing index built from a "
+                          "different source (otherwise StaleIndexError)")
 
     args = ap.parse_args(argv)
     spark = _spark(args.cores, args.shuffle_partitions)
@@ -118,7 +124,7 @@ def main(argv: list[str] | None = None) -> int:
         corpus = spark.read.parquet(args.corpus)
         metrics = build_index(spark, corpus, args.out, BuildConfig(
             num_shards=args.shards, tokenizer_mode=args.tokenizer,
-            tokenize_groups=args.groups))
+            tokenize_groups=args.groups, overwrite_stale=args.overwrite))
         print(json.dumps(metrics))
     elif args.cmd == "search":
         from deluge_spark.index.search import Searcher
@@ -209,7 +215,8 @@ def main(argv: list[str] | None = None) -> int:
                    or tuple(df.columns))
             df = assign_doc_ids(df, key_cols=key)
         metrics = build_index(spark, df, args.out, BuildConfig(
-            num_shards=args.shards, tokenizer_mode=args.tokenizer))
+            num_shards=args.shards, tokenizer_mode=args.tokenizer,
+            overwrite_stale=args.overwrite))
         if gate is not None:
             metrics["gate"] = gate
         print(json.dumps(metrics))
