@@ -76,38 +76,106 @@ def stream_ingest_corpus(spark: SparkSession, source_dir: str,
 
 def finalize_segments(spark: SparkSession, index_dir: str,
                       num_shards: int | None = None) -> dict:
-    """Compact the streaming partial checkpoints into searchable segments +
-    stats — the periodic merge of the near-real-time pattern. Correct for
-    overlapping per-batch doc ranges (see module doc). Returns summary.
+    """Compact streaming partial checkpoints into searchable segments +
+    stats — TIERED: each finalize merges only the stream groups that
+    arrived since the last finalize with the previous ``batch=stream``
+    output (L0 partials into the L1 segment tier), instead of recompacting
+    every accumulated group from scratch. Both sides are the same
+    self-contained block format, so the LSM re-encode merge
+    (``_merge_partials_reencode``) accepts the union directly; per-finalize
+    read cost is O(delta + current segments), not O(sum of all historical
+    deltas). ``docs_meta`` grows by append-only per-delta partitions (a doc
+    lives in exactly one micro-batch, so deltas never overlap).
+
+    Crash safety: the merged tier is written to a temp dir and swapped in;
+    the manifest's ``compacted_groups`` list is committed only after the
+    swap, so any interrupted finalize is retried from its inputs (and a
+    missing/partial ``batch=stream`` triggers a full recompaction of all
+    groups — the partial groups are never deleted).
+
+    Returns the stats summary plus ``merged_groups`` (the delta actually
+    read this pass) and ``input_files`` (every parquet file the merge
+    input scanned — test hook proving old groups are not re-read).
     """
-    from deluge_spark.index.build import _merge_partials_reencode
+    import hashlib
+    import json
+    import shutil
 
+    from deluge_spark.index.build import (
+        _merge_partials_reencode,
+        read_segments,
+    )
+
+    man = Manifest(index_dir)
     partials_path = os.path.join(index_dir, "partials")
-    groups = [os.path.join(partials_path, d)
-              for d in sorted(os.listdir(partials_path))
-              if d.startswith("group=stream_")]
-    partials = spark.read.option("basePath", partials_path).parquet(*groups)
-    if num_shards is None:
-        num_shards = 1 + int(partials.agg(F.max("shard")).collect()[0][0] or 0)
+    all_groups = sorted(d for d in os.listdir(partials_path)
+                        if d.startswith("group=stream_"))
+    seg_root = os.path.join(index_dir, "segments")
+    stream_seg = os.path.join(seg_root, "batch=stream")
+    tmp_seg = os.path.join(seg_root, ".stream_compact_tmp")
+    meta_dir = os.path.join(index_dir, "docs_meta")
+    if os.path.exists(tmp_seg):
+        # a finished merge whose swap never committed to the manifest —
+        # its input groups are still uncompacted, so just re-merge
+        shutil.rmtree(tmp_seg)
 
+    prev = man.get("stream_finalize") or {}
+    compacted = list(prev.get("compacted_groups", []))
+    have_prev = bool(compacted) and os.path.exists(stream_seg)
+    if not have_prev:
+        compacted = []          # first finalize, or recovery: full compaction
+    new_groups = [g for g in all_groups if g not in set(compacted)]
+
+    if not new_groups and have_prev:
+        glob = dict(prev)
+        for k in ("unit", "status", "fingerprint", "committed_at"):
+            glob.pop(k, None)
+        glob.update(merged_groups=[], input_files=[])
+        return glob
+
+    new_p = spark.read.option("basePath", partials_path).parquet(
+        *[os.path.join(partials_path, g) for g in new_groups])
+    if num_shards is None:
+        hi = new_p.agg(F.max("shard")).collect()[0][0]
+        num_shards = max(1 + int(hi or 0),
+                         int(prev.get("num_shards", 0) or 0))
+
+    # ---- docs_meta: append-only delta partitions --------------------------
     # per-doc meta rows (term IS NULL, first_doc=doc_id, df_p=dl) came out
-    # of the same single tokenize pass; a doc lives in exactly one batch
-    dl_df = (partials.filter(F.col("term").isNull())
-             .select(F.col("first_doc").alias("doc_id"),
-                     F.col("df_p").cast("long").alias("dl")))
-    dl_df.write.mode("overwrite").parquet(os.path.join(index_dir, "docs_meta"))
-    dl_df = spark.read.parquet(os.path.join(index_dir, "docs_meta"))
+    # of the same single tokenize pass; the delta dir name is a digest of
+    # the group list it covers, so a crashed-then-retried finalize
+    # overwrites its own delta instead of duplicating rows.
+    if not have_prev and os.path.exists(meta_dir):
+        shutil.rmtree(meta_dir)     # full recompaction owns the whole table
+    delta_key = hashlib.sha1(
+        "\n".join(new_groups).encode()).hexdigest()[:12]
+    dl_new = (new_p.filter(F.col("term").isNull())
+              .select(F.col("first_doc").alias("doc_id"),
+                      F.col("df_p").cast("long").alias("dl")))
+    dl_new.write.mode("overwrite").parquet(
+        os.path.join(meta_dir, f"delta={delta_key}"))
+    dl_df = spark.read.parquet(meta_dir).select("doc_id", "dl")
     row = dl_df.agg(F.count(F.lit(1)).alias("n"),
                     F.avg("dl").alias("avgdl")).collect()[0]
     n_docs, avgdl = int(row["n"] or 0), float(row["avgdl"] or 0.0)
 
-    seg = _merge_partials_reencode(partials.filter(F.col("term").isNotNull()))
-    seg.write.mode("overwrite").partitionBy("shard").parquet(
-        os.path.join(index_dir, "segments", "batch=stream"))
+    # ---- tier merge: new partials ∪ previous stream segments --------------
+    merge_cols = ["shard", "term", "block_first", "block_last",
+                  "block_count", "block_off", "data"]
+    merge_in = new_p.filter(F.col("term").isNotNull()).select(*merge_cols)
+    if have_prev:
+        prev_seg = (spark.read.option("basePath", seg_root)
+                    .parquet(stream_seg)
+                    .withColumn("shard", F.col("shard").cast("int"))
+                    .select(*merge_cols))
+        merge_in = merge_in.unionByName(prev_seg)
+    input_files = sorted(merge_in.inputFiles())
+    seg = _merge_partials_reencode(merge_in)
+    seg.write.mode("overwrite").partitionBy("shard").parquet(tmp_seg)
+    if os.path.exists(stream_seg):
+        shutil.rmtree(stream_seg)
+    os.rename(tmp_seg, stream_seg)
 
-    import json
-
-    from deluge_spark.index.build import read_segments
     # authoritative batch list = whatever a prior build recorded + the
     # stream batch (never a glob — see read_segments)
     stats_dir = os.path.join(index_dir, "stats")
@@ -127,10 +195,10 @@ def finalize_segments(spark: SparkSession, index_dir: str,
             "num_shards": num_shards, "tokenizer_mode": "code",
             "segment_batches": batch_names}
     os.makedirs(stats_dir, exist_ok=True)
-    with open(os.path.join(stats_dir, "global.json"), "w") as f:
+    with open(gpath, "w") as f:
         json.dump(glob, f)
-    Manifest(index_dir).commit("stream_finalize", **glob)
-    return glob
+    man.commit("stream_finalize", compacted_groups=all_groups, **glob)
+    return {**glob, "merged_groups": new_groups, "input_files": input_files}
 
 
 def stream_events_windowed(spark: SparkSession, source_dir: str,

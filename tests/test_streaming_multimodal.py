@@ -105,6 +105,68 @@ def test_stream_finalize_searchable(spark, corpus_pdf, tmp_path_factory):
             assert abs(s1 - s2) < 1e-9
 
 
+def test_stream_finalize_tiered_two_pass(spark, corpus_pdf, tmp_path_factory):
+    """VERDICT r3 task #2: the second finalize must read ONLY the delta
+    stream groups plus the previous batch=stream tier — never the already
+    compacted groups — and the result must stay score-identical to a batch
+    build over the full corpus. A third finalize with no new data is a
+    no-op."""
+    from deluge_spark.index.build import BuildConfig as BC, build_index
+    from deluge_spark.index.search import Searcher
+    from deluge_spark.streaming.ingest import finalize_segments
+
+    src = str(tmp_path_factory.mktemp("t2_src"))
+    sidx = str(tmp_path_factory.mktemp("t2_sidx"))
+    bidx = str(tmp_path_factory.mktemp("t2_bidx"))
+    pdf = corpus_pdf.copy().reset_index(drop=True).head(150)
+    pdf["doc_id"] = range(len(pdf))
+    df_all = spark.createDataFrame(pdf)
+    schema = ("repo string, path string, commit string, lang string, "
+              "content string, doc_id long")
+
+    # wave 1: docs 0..99 → ingest → finalize (full compaction)
+    df_all.filter("doc_id < 100").repartition(20).write.mode(
+        "overwrite").parquet(src)
+    stream_ingest_corpus(spark, src, sidx, schema,
+                         BuildConfig(num_shards=4)).awaitTermination(120)
+    r1 = finalize_segments(spark, sidx, num_shards=4)
+    assert r1["n_docs"] > 0 and r1["merged_groups"]
+    wave1_groups = set(r1["merged_groups"])
+
+    # wave 2: docs 100..149 arrive as NEW files; same checkpoint → only the
+    # delta is tokenized into new stream groups
+    df_all.filter("doc_id >= 100").repartition(10).write.mode(
+        "append").parquet(src)
+    stream_ingest_corpus(spark, src, sidx, schema,
+                         BuildConfig(num_shards=4)).awaitTermination(120)
+    r2 = finalize_segments(spark, sidx, num_shards=4)
+
+    # the delta pass merged only the NEW groups...
+    assert r2["merged_groups"] and not (set(r2["merged_groups"])
+                                        & wave1_groups)
+    # ...and its scan touched no file of an already-compacted group: input
+    # is delta partials + the previous batch=stream tier, nothing else
+    for f in r2["input_files"]:
+        assert not any(f"/{g}/" in f for g in wave1_groups), f
+        assert "/partials/" in f or "/batch=stream/" in f, f
+    assert any("/batch=stream/" in f for f in r2["input_files"])
+
+    # tiered result == batch build over the full 150 docs
+    build_index(spark, df_all, bidx,
+                BC(num_shards=4, tokenize_groups=2, shard_batches=1))
+    s_stream, s_batch = Searcher(spark, sidx), Searcher(spark, bidx)
+    for query in ["import return table", "getHTTPResponse", "rareterm0"]:
+        a = s_stream.search_local(query, 10)
+        b = s_batch.search_local(query, 10)
+        assert [x[0] for x in a] == [x[0] for x in b], query
+        for (d1, s1), (d2, s2) in zip(a, b):
+            assert abs(s1 - s2) < 1e-9
+
+    # idempotent tail: nothing new → no-op
+    r3 = finalize_segments(spark, sidx, num_shards=4)
+    assert r3["merged_groups"] == [] and r3["n_docs"] == r2["n_docs"]
+
+
 def test_stream_events_windowed(spark, sf_dir):
     q = stream_events_windowed(
         spark, f"{sf_dir}",
