@@ -39,6 +39,25 @@ def tokens_col(col: str, mode: str = "simple"):
     return F.expr(expr.format(col=col))
 
 
+def _eager_release(out: DataFrame, handles: list[DataFrame]) -> DataFrame:
+    """Materialize ``out`` once, then release the transient ``.cache()``
+    handles its plan reused — the corpus-sized intermediate (shingle table,
+    fingerprint table) must not stay pinned in cluster memory for the rest
+    of a long-lived session. The small RESULT table is persisted so callers
+    can collect/reuse it without recomputing through the now-released
+    caches; they may ``.unpersist()`` it when done."""
+    out = out.persist()
+    try:
+        out.count()
+    except BaseException:
+        out.unpersist(blocking=False)
+        raise
+    finally:
+        for h in handles:
+            h.unpersist(blocking=False)
+    return out
+
+
 def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
     """Group identical texts → (content_hash, n_docs, min_doc_id)."""
@@ -90,7 +109,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     ``max_shingle_df`` drops shingles present in more than that many docs
     before pairing (stopword-shingle blowup guard at scale; None = exact).
     """
-    sh = _shingles(df, id_col, text_col, n, mode).cache()
+    handle = _shingles(df, id_col, text_col, n, mode).cache()
+    sh = handle
     if max_shingle_df is not None:
         hot = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
                .filter(F.col("sdf") > max_shingle_df).select("shingle"))
@@ -103,7 +123,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
         .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    return (
+    out = (
         inter.join(sizes.withColumnRenamed("id", "doc_a")
                    .withColumnRenamed("sz", "sz_a"), "doc_a")
         .join(sizes.withColumnRenamed("id", "doc_b")
@@ -113,6 +133,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
+    return _eager_release(out, [handle])
 
 
 # ---------------------------------------------------------------------------
@@ -329,6 +350,7 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
                 F.col("y.id").alias("doc_b"), F.col("y.simhash").alias("h_b"))
         .distinct())
     ham = F.expr("bit_count(h_a ^ h_b)")
-    return (cand.withColumn("hamming", ham)
-            .filter(F.col("hamming") <= max_hamming)
-            .select("doc_a", "doc_b", "hamming"))
+    out = (cand.withColumn("hamming", ham)
+           .filter(F.col("hamming") <= max_hamming)
+           .select("doc_a", "doc_b", "hamming"))
+    return _eager_release(out, [sh])

@@ -91,6 +91,10 @@ class Equalizer:
                 self._sem.release()
 
         t = threading.Thread(target=_run, daemon=True)
+        # bounded bookkeeping: drop finished threads before tracking a new
+        # one — a long partition must hold at most max_inflight entries,
+        # not one Thread object per bulk ever sent
+        self._threads = [x for x in self._threads if x.is_alive()]
         self._threads.append(t)
         t.start()
 

@@ -44,6 +44,22 @@ def test_equalizer_bounds_inflight():
     assert state["peak"] <= 3
 
 
+def test_equalizer_thread_bookkeeping_bounded():
+    """A long partition must not accumulate one Thread object per bulk —
+    finished threads are pruned on each send (r3 ADVICE: unbounded
+    bookkeeping; only close() cleared the list)."""
+    eq = Equalizer(max_inflight=2)
+    peak = 0
+    for _ in range(50):
+        eq.send(lambda: time.sleep(0.001))
+        peak = max(peak, len(eq._threads))
+    assert eq.close() == []
+    # alive threads are bounded by the semaphore; the tracked list may hold
+    # at most those plus a handful finished-but-not-yet-pruned entries
+    assert peak <= 2 + 3, peak
+    assert eq._threads == []
+
+
 def test_equalizer_surfaces_errors():
     eq = Equalizer(max_inflight=2)
 
