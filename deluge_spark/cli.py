@@ -196,7 +196,12 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 df = read_lines(spark, args.input, excludes=excludes)
             df = df.withColumnRenamed("line", "content")
-        if args.content_col != "content":
+        if args.content_col != "content" and args.content_col in df.columns:
+            if "content" in df.columns:
+                # a pre-existing content column would otherwise survive the
+                # rename and leave TWO content columns (ambiguous-column
+                # failure deep in the build) — the named column wins
+                df = df.drop("content")
             df = df.withColumnRenamed(args.content_col, "content")
         if "content" not in df.columns:
             raise SystemExit(

@@ -115,6 +115,45 @@ def _fingerprint(corpus: DataFrame) -> str:
                        "head": files[:8]})[:4000]
 
 
+def _migrate_legacy_fingerprints(man: Manifest, corpus: DataFrame,
+                                 fp: str) -> int:
+    """Round 3 changed ``_fingerprint``'s encoding (truncated ``files``
+    list → full-list sha256). A manifest written by an older build on the
+    SAME unchanged corpus would otherwise mismatch the new encoding and
+    force a full wipe via overwrite_stale. Detect legacy-format entries
+    (JSON with a ``files`` key), recompute the legacy encoding for the
+    current corpus, and rewrite matching entries in place — a one-time
+    auto-migration; genuinely different corpora still mismatch."""
+    stale = [e for e in man.entries()
+             if e.get("fingerprint") not in (None, fp)]
+    if not stale:
+        return 0
+    legacy: str | None = None
+    migrated = 0
+    for e in stale:
+        old = e.get("fingerprint")
+        try:
+            if "files" not in json.loads(old):
+                continue
+        except (TypeError, ValueError):
+            continue
+        if legacy is None:
+            files: list[str] = []
+            try:
+                files = sorted(corpus.inputFiles())[:64]
+            except Exception:
+                pass
+            legacy = json.dumps({"schema": corpus.schema.simpleString(),
+                                 "files": files})[:4000]
+        if old == legacy:
+            extras = {k: v for k, v in e.items()
+                      if k not in ("unit", "status", "fingerprint",
+                                   "committed_at")}
+            man.commit(e["unit"], fp, **extras)
+            migrated += 1
+    return migrated
+
+
 def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
                 config: BuildConfig | None = None) -> dict:
     """Build (or resume) the full index; returns summary metrics."""
@@ -124,6 +163,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
     os.makedirs(index_dir, exist_ok=True)
     man = Manifest(index_dir)
     fp = _fingerprint(corpus)
+    _migrate_legacy_fingerprints(man, corpus, fp)
     _reset_stale_index(index_dir, man, fp, allow=cfg.overwrite_stale)
     t0 = time.time()
     metrics = {"retokenized_groups": 0, "rebuilt_shard_batches": 0}
@@ -201,10 +241,20 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
         docs_thread.start()
 
     def _join_docs() -> None:
-        if docs_thread is not None:
-            docs_thread.join()
-            if docs_exc:
-                raise docs_exc[0]
+        if docs_thread is None:
+            return
+        docs_thread.join()
+        if docs_exc:
+            import sys
+            if sys.exc_info()[0] is not None:
+                # the tokenize stage already raised and we're inside its
+                # finally — that primary exception must keep propagating;
+                # the concurrent docs-write failure is secondary context
+                import logging
+                logging.getLogger(__name__).warning(
+                    "concurrent docs write also failed: %r", docs_exc[0])
+                return
+            raise docs_exc[0]
 
     # ---- stage 2: tokenize + encode partial postings, per group ---------
     # THE corpus pass: ONE Python stage does analysis AND block compression;
@@ -650,7 +700,11 @@ def _merge_partials_reencode(partials: DataFrame) -> DataFrame:
             g = encode_group(idx, doc, tf, dl)
 
             nt = g["n_terms"]
-            assert nt == n_rows  # every (shard, term) group has postings
+            if nt != n_rows:  # every (shard, term) group has postings;
+                # data-integrity check must survive python -O (no assert)
+                raise RuntimeError(
+                    f"re-encode group mismatch: {nt} terms from "
+                    f"{n_rows} (shard, term) rows")
             list_offsets = pa.array(
                 g["term_block_offsets"].astype("int32"), pa.int32())
 
@@ -742,8 +796,13 @@ def tf_from_segments(spark: SparkSession, index_dir: str) -> DataFrame:
             n_vals = 3 * total - n_blocks
             vals, consumed = varint_decode(buf, count=n_vals,
                                            offset=int(bin_offsets[0]))
-            assert consumed == int(bin_offsets[-1] - bin_offsets[0]), \
-                "posting byte stream not contiguous across rows"
+            if consumed != int(bin_offsets[-1] - bin_offsets[0]):
+                # integrity check, not a debug assert: stripped asserts
+                # under python -O would turn this into corrupt postings
+                raise RuntimeError(
+                    "posting byte stream not contiguous across rows: "
+                    f"decoded {consumed} bytes, offsets span "
+                    f"{int(bin_offsets[-1] - bin_offsets[0])}")
             vals = vals.astype(np.int64)
 
             vstart = np.zeros(n_blocks, dtype=np.int64)

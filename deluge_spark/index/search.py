@@ -57,12 +57,18 @@ def idf(n_docs: int, df: int) -> float:
 
 
 class Searcher:
+    #: cost-based TAAT/WAND switch point (matched postings): below it the
+    #: vectorized exhaustive scorer beats the DAAT loop. ONE source of
+    #: truth for the coordinator path and the per-shard distributed pick.
+    DEFAULT_TAAT_CAP = 100_000
+
     def __init__(self, spark: SparkSession, index_dir: str,
                  local_postings_cap: int = 5_000_000,
                  filter_ids_cap: int = 2_000_000,
                  cache_stats: bool = True,
                  cache_segments: bool = False,
-                 term_cache_size: int = 0):
+                 term_cache_size: int = 0,
+                 taat_cap: int | None = None):
         """``cache_stats`` pulls the (small) term→df table to the driver once
         — the coordinating-node dictionary. ``cache_segments`` persists the
         segment DataFrame in cluster memory (interactive serving mode; leave
@@ -79,6 +85,8 @@ class Searcher:
         self.local_postings_cap = local_postings_cap
         self.filter_ids_cap = filter_ids_cap
         self.term_cache_size = term_cache_size
+        self.taat_cap = (self.DEFAULT_TAAT_CAP if taat_cap is None
+                         else taat_cap)
         self._term_cache: OrderedDict[str, list[dict]] = OrderedDict()
         self._terms_path = os.path.join(index_dir, "stats", "terms")
         self._docs_path = os.path.join(index_dir, "docs")
@@ -173,14 +181,13 @@ class Searcher:
     def search_local(self, query: str, k: int = 10,
                      filters: dict[str, str] | None = None,
                      round_dp: int = 9,
-                     algo: str = "auto",
-                     taat_cap: int = 100_000) -> list[tuple[int, float]]:
+                     algo: str = "auto") -> list[tuple[int, float]]:
         """Coordinator-mode search returning a driver-side list — the
         serving-path latency (one Spark job: fetch matched segment rows).
         Same results as ``search(mode='coordinator')`` without the
         result-DataFrame materialization round-trip.
 
-        ``algo``: 'auto' (default — taat when Σdf ≤ ``taat_cap``, else
+        ``algo``: 'auto' (default — taat when Σdf ≤ ``self.taat_cap``, else
         wand; Lucene's cost-based pick, same as the distributed path's
         per-shard choice), 'taat' (vectorized exhaustive — faster when
         matched postings are few), or 'wand' (block-max DAAT — the
@@ -197,7 +204,7 @@ class Searcher:
         allowed = self._allowed_ids(filters)
         rows = self._fetch_term_rows(list(idfs))
         if algo == "auto":
-            algo = "taat" if sum(dfs.values()) <= taat_cap else "wand"
+            algo = "taat" if sum(dfs.values()) <= self.taat_cap else "wand"
         if algo == "taat":
             return taat_top_k(rows, idfs, avgdl, k, round_dp, allowed)
         if algo != "wand":
@@ -277,7 +284,7 @@ class Searcher:
         """
         sc = self.spark.sparkContext
         b_idfs = sc.broadcast(idfs)
-        taat_cap = 100_000
+        taat_cap = self.taat_cap
 
         def _shard_wand(seg_pdf: pd.DataFrame,
                         allowed: np.ndarray | None) -> pd.DataFrame:

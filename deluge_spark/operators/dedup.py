@@ -217,7 +217,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
       (deterministic: smallest ids kept). A safety valve against residual
       near-identical floods; trades bounded recall loss for bounded work.
     """
-    assert num_hashes % bands == 0
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
     if collapse_exact:
         df = exact_dedup(df, id_col, text_col)
     rows = num_hashes // bands

@@ -87,6 +87,9 @@ def sign_sketch(df: DataFrame, id_col: str = "vec_id",
     if n_planes % bands:
         raise ValueError("n_planes must be divisible by bands")
     src = df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    # carry the id through with its SOURCE type (string/long/...): the
+    # sketch must not implicitly cast ids the caller joins back on
+    id_type = src.schema["id"].dataType.simpleString()
 
     def _stage(it):
         import pyarrow as pa
@@ -107,15 +110,16 @@ def sign_sketch(df: DataFrame, id_col: str = "vec_id",
             m = varr.flatten().to_numpy(
                 zero_copy_only=False).reshape(n, dim)
             buckets = _band_buckets(m @ planes_t > 0, bands)
-            ids = batch.column("id").to_numpy(zero_copy_only=False)
+            rep = pa.array(np.repeat(np.arange(n, dtype=np.int64), bands))
             yield pa.RecordBatch.from_pydict({
-                "id": pa.array(np.repeat(ids, bands), pa.int64()),
+                "id": batch.column("id").take(rep),  # type-preserving
                 "band": pa.array(
                     np.tile(np.arange(bands, dtype=np.int32), n), pa.int32()),
                 "bucket": pa.array(buckets.reshape(-1), pa.int64()),
             })
 
-    return src.mapInArrow(_stage, schema="id long, band int, bucket long")
+    return src.mapInArrow(_stage,
+                          schema=f"id {id_type}, band int, bucket long")
 
 
 def _query_buckets(query_vec, n_planes: int, bands: int,

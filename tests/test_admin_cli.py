@@ -132,3 +132,31 @@ def test_cli_ingest_raw_jsonl(tmp_path_factory):
               "--codec", "flate", "--shards", "2", "--out", fidx)[-1]
     assert out["n_docs"] == 8
     assert len(run("search", "--index", fidx, "--query", "flateline")) == 8
+
+
+def test_cli_ingest_content_col_collision(tmp_path_factory):
+    """r3 ADVICE: --content-col naming a column while the input ALSO has a
+    literal `content` column must not leave two ambiguous content columns —
+    the named column wins, the pre-existing one is dropped."""
+    src = tmp_path_factory.mktemp("cc_src")
+    idx = str(tmp_path_factory.mktemp("cc_idx"))
+    lines = [json.dumps({"id": f"d{i}", "content": "decoy ignored",
+                         "body": f"realtext document {i}"})
+             for i in range(12)]
+    (src / "docs.jsonl").write_text("\n".join(lines) + "\n")
+
+    def run(*args):
+        p = subprocess.run([sys.executable, "-m", "deluge_spark.cli",
+                            "--cores", "4", *args],
+                           capture_output=True, text=True, timeout=600,
+                           cwd="/root/repo")
+        assert p.returncode == 0, p.stderr[-2000:]
+        return [json.loads(line) for line in p.stdout.splitlines()
+                if line.startswith("{")]
+
+    out = run("ingest", "--input", str(src), "--format", "jsonl",
+              "--schema", "id string, content string, body string",
+              "--content-col", "body", "--shards", "2", "--out", idx)[-1]
+    assert out["n_docs"] == 12
+    assert len(run("search", "--index", idx, "--query", "realtext")) > 0
+    assert not run("search", "--index", idx, "--query", "decoy")

@@ -219,6 +219,25 @@ def test_rp_lsh_recalls_nearest(vectors):
     assert got and got[0].vec_id == 1
 
 
+def test_lsh_ops_accept_string_ids(spark, vectors):
+    """r3 ADVICE: sign_sketch hardcoded `id long`, silently casting
+    non-integer ids. The sketch must carry the id through with its source
+    type — string ids work end-to-end in both LSH consumers."""
+    from deluge_spark.operators.similarity import (
+        cosine_near_pairs_lsh,
+        sign_sketch,
+    )
+
+    df, vs = vectors
+    sdf = df.withColumn("vec_id", F.concat(F.lit("v"), F.col("vec_id")))
+    sk = sign_sketch(sdf, "vec_id", "embedding", n_planes=16, bands=8)
+    assert dict(sk.dtypes)["id"] == "string"
+    got = rp_lsh_top_k(sdf, list(vs[0]), 5, n_planes=16, bands=8).collect()
+    assert got and got[0].vec_id == "v0" and got[1].vec_id == "v1"
+    pairs = cosine_near_pairs_lsh(sdf, 0.99, n_planes=16, bands=8).collect()
+    assert ("v0", "v1") in {(r.id_a, r.id_b) for r in pairs}
+
+
 def test_text_functions_match_duckdb(spark, sf_dir):
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
     con = duckdb.connect()

@@ -205,3 +205,17 @@ def test_hot_term_split_across_shards(spark, index_dir):
     assert len(rows) == stats["num_shards"]
     counts = [r["df_local"] for r in rows]
     assert max(counts) <= 2 * (sum(counts) / len(counts))
+
+
+def test_taat_cap_single_source(spark, index_dir):
+    """r3 VERDICT task #7: the TAAT/WAND switch point lives in ONE place —
+    Searcher.taat_cap — honored by both the coordinator path and the
+    distributed per-shard pick, and rankings agree on either side of it."""
+    from deluge_spark.index.search import Searcher as S
+
+    s_wand = S(spark, index_dir, taat_cap=0)       # force WAND
+    s_taat = S(spark, index_dir, taat_cap=10**12)  # force TAAT
+    s_def = S(spark, index_dir)
+    assert s_def.taat_cap == S.DEFAULT_TAAT_CAP
+    for q in ("import return", "getHTTPResponse"):
+        assert s_wand.search_local(q, 10) == s_taat.search_local(q, 10)

@@ -75,6 +75,53 @@ def test_idempotent_rerun_is_noop(spark, corpus_df, tmp_path_factory):
     assert m["rebuilt_shard_batches"] == 0
 
 
+def test_legacy_fingerprint_auto_migrates(spark, corpus_df, tmp_path_factory):
+    """r3 ADVICE: round 3 changed the fingerprint encoding (files list →
+    sha digest); a manifest written under the OLD encoding for the SAME
+    corpus must resume as a no-op (entries rewritten in place), not raise
+    StaleIndexError over a format change."""
+    import json as _json
+    import os
+
+    d = str(tmp_path_factory.mktemp("idx_legacy"))
+    cfg = BuildConfig(num_shards=2, tokenize_groups=2, shard_batches=1)
+    build_index(spark, corpus_df, d, cfg)
+
+    # rewrite every manifest entry with the round-2 legacy encoding
+    files = sorted(corpus_df.inputFiles())[:64]
+    legacy = _json.dumps({"schema": corpus_df.schema.simpleString(),
+                          "files": files})[:4000]
+    mdir = os.path.join(d, "manifest")
+    for name in os.listdir(mdir):
+        if not name.endswith(".json"):
+            continue
+        p = os.path.join(mdir, name)
+        with open(p) as f:
+            e = _json.load(f)
+        if e.get("fingerprint"):
+            e["fingerprint"] = legacy
+            with open(p, "w") as f:
+                _json.dump(e, f)
+
+    m = build_index(spark, corpus_df, d, cfg)   # overwrite_stale=False
+    assert m["retokenized_groups"] == 0
+    assert m["rebuilt_shard_batches"] == 0
+
+    # a genuinely different corpus under legacy encoding still trips the gate
+    for name in os.listdir(mdir):
+        if name.endswith(".json"):
+            p = os.path.join(mdir, name)
+            with open(p) as f:
+                e = _json.load(f)
+            if e.get("fingerprint"):
+                e["fingerprint"] = _json.dumps(
+                    {"schema": "struct<other:int>", "files": ["x"]})
+                with open(p, "w") as f:
+                    _json.dump(e, f)
+    with pytest.raises(StaleIndexError, match="overwrite_stale"):
+        build_index(spark, corpus_df, d, cfg)
+
+
 def test_fingerprint_change_invalidates(spark, corpus_df, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("idx_fp"))
     cfg = BuildConfig(num_shards=2, tokenize_groups=2, shard_batches=1)
