@@ -82,6 +82,17 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--index", required=True)
     c.add_argument("--files-per-shard", type=int, default=1)
 
+    um = sub.add_parser("update-mapping",
+                        help="evolve stored-field schema in place "
+                             "(no re-tokenize); ≙ SetUpdateMapping")
+    um.add_argument("--index", required=True)
+    um.add_argument("--add", action="append", default=[],
+                    metavar="NAME=SQL_EXPR",
+                    help="derived stored field, repeatable "
+                         "(e.g. nlines=\"size(split(content, '\\n'))\")")
+    um.add_argument("--drop", action="append", default=[],
+                    help="stored-field column to drop, repeatable")
+
     ss = sub.add_parser("source-summary")
     ss.add_argument("--corpus", required=True)
     ss.add_argument("--text-col", default="content")
@@ -155,6 +166,17 @@ def main(argv: list[str] | None = None) -> int:
 
         print(json.dumps(compact_segments(spark, args.index,
                                           args.files_per_shard)))
+    elif args.cmd == "update-mapping":
+        from deluge_spark.plans.admin import update_stored_fields
+
+        add = {}
+        for spec in args.add:
+            name, _, expr = spec.partition("=")
+            if not name or not expr:
+                raise SystemExit(f"--add expects NAME=SQL_EXPR, got {spec!r}")
+            add[name] = expr
+        print(json.dumps(update_stored_fields(spark, args.index,
+                                              add=add, drop=args.drop)))
     elif args.cmd == "source-summary":
         from deluge_spark.plans.admin import summarize_source
 

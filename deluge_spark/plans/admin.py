@@ -113,6 +113,74 @@ def compact_segments(spark: SparkSession, index_dir: str,
     return {"files": n_files, "replaced_batches": len(old)}
 
 
+#: stored-field columns the engine itself depends on: doc_id/shard key the
+#: segment postings, content_sha256 is the dedup/identity invariant
+PROTECTED_STORED_FIELDS = frozenset({"doc_id", "shard", "content_sha256"})
+
+
+def update_stored_fields(spark: SparkSession, index_dir: str,
+                         add: dict | None = None,
+                         drop: list[str] | None = None) -> dict:
+    """Mapping-update analog: evolve an existing index's stored-field
+    (docs) schema IN PLACE — add columns derived from existing stored
+    fields (SQL expressions or Columns) and/or drop non-core columns —
+    without re-tokenizing or touching segments (≙ the reference's
+    ``SetUpdateMapping`` PutMapping path, /root/reference/options.go:122-127,
+    ingestor.go:125-132: update the mapping of an index that already
+    exists instead of rebuilding it).
+
+    Searches are byte-identical afterwards (scoring never reads docs);
+    added columns are immediately usable as keyword filters
+    (``Searcher.search(filters={...})``). Each evolution is recorded as a
+    ``mapping_update_<n>`` manifest unit. Cost: one rewrite of the docs
+    table — O(corpus stored fields), zero tokenization, zero shuffle
+    (narrow projection).
+    """
+    add = dict(add or {})
+    drop = list(drop or [])
+    bad = (set(drop) | set(add)) & PROTECTED_STORED_FIELDS
+    if bad:
+        raise ValueError(f"cannot add/drop protected stored fields: "
+                         f"{sorted(bad)}")
+    if not add and not drop:
+        raise ValueError("nothing to update: pass add= and/or drop=")
+
+    docs_path = os.path.join(index_dir, "docs")
+    tmp_path = os.path.join(index_dir, ".docs_update_tmp")
+    retired = os.path.join(index_dir, ".docs_retired")
+    # crash recovery: an interrupted swap left the new table in retired's
+    # place-holder window — restore the last complete table
+    if not os.path.exists(docs_path) and os.path.exists(retired):
+        os.rename(retired, docs_path)
+    for leftover in (tmp_path, retired):
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
+
+    docs = spark.read.parquet(docs_path)
+    missing = [c for c in drop if c not in docs.columns]
+    if missing:
+        raise ValueError(f"cannot drop absent columns: {missing}")
+    for name, expr in add.items():
+        docs = docs.withColumn(
+            name, F.expr(expr) if isinstance(expr, str) else expr)
+    if drop:
+        docs = docs.drop(*drop)
+    docs.write.mode("overwrite").parquet(tmp_path)
+
+    os.rename(docs_path, retired)
+    os.rename(tmp_path, docs_path)
+    shutil.rmtree(retired)
+
+    cols = spark.read.parquet(docs_path).columns
+    man = Manifest(index_dir)
+    n_prior = sum(1 for e in man.entries()
+                  if e["unit"].startswith("mapping_update_"))
+    man.commit(f"mapping_update_{n_prior}",
+               added=sorted(add), dropped=sorted(drop), columns=cols)
+    return {"added": sorted(add), "dropped": sorted(drop), "columns": cols,
+            "updates_applied": n_prior + 1}
+
+
 def reindex(spark: SparkSession, index_dir: str, out_dir: str,
             config: BuildConfig | None = None) -> dict:
     """Clone/migrate an index to a new layout from its tf checkpoints —

@@ -86,6 +86,12 @@ def test_cli_end_to_end(spark, corpus_df, tmp_path_factory):
     hits2 = run("search", "--index", idx, "--query", "import return",
                 "-k", "3")
     assert hits2 == hits  # compaction preserves results through the CLI
+    upd = run("update-mapping", "--index", idx,
+              "--add", "n_chars=length(content)")[-1]
+    assert "n_chars" in upd["columns"] and upd["updates_applied"] == 1
+    hits3 = run("search", "--index", idx, "--query", "import return",
+                "-k", "3")
+    assert hits3 == hits  # mapping evolution preserves results too
 
 
 def test_cli_ingest_raw_jsonl(tmp_path_factory):

@@ -76,3 +76,52 @@ def test_compaction_preserves_results(spark, corpus_df, tmp_path_factory):
     assert before == after
     assert stats_before["total_postings"] == stats_after["total_postings"]
     assert stats_before["vocabulary"] == stats_after["vocabulary"]
+
+
+def test_update_stored_fields_mapping_evolution(spark, corpus_df,
+                                                tmp_path_factory):
+    """Mapping-update analog (r3 missing #2 / task #4): evolve the docs
+    stored-field schema on a BUILT index — add derived columns, drop them —
+    without re-tokenizing; searches byte-identical before/after; new
+    columns usable as keyword filters; manifest records each evolution."""
+    from deluge_spark.index.manifest import Manifest
+    from deluge_spark.plans.admin import update_stored_fields
+
+    d = str(tmp_path_factory.mktemp("idx_map"))
+    build_index(spark, corpus_df, d,
+                BuildConfig(num_shards=2, tokenize_groups=1,
+                            shard_batches=1))
+    s = Searcher(spark, d)
+    before = s.search_local("import return table", 10)
+    before_f = s.search("import return", 10,
+                        filters={"lang": "python"}).collect()
+
+    out = update_stored_fields(
+        spark, d,
+        add={"lang_uc": "upper(lang)",
+             "n_chars": "length(content)"})
+    assert {"lang_uc", "n_chars"} <= set(out["columns"])
+    assert out["updates_applied"] == 1
+
+    s2 = Searcher(spark, d)
+    assert s2.search_local("import return table", 10) == before
+    # the evolved column serves as a keyword filter immediately
+    got_f = s2.search("import return", 10,
+                      filters={"lang_uc": "PYTHON"}).collect()
+    assert [(r["doc_id"], r["score"]) for r in got_f] == \
+           [(r["doc_id"], r["score"]) for r in before_f]
+
+    out2 = update_stored_fields(spark, d, drop=["lang_uc", "n_chars"])
+    assert "lang_uc" not in out2["columns"]
+    assert out2["updates_applied"] == 2
+    assert Searcher(spark, d).search_local("import return table",
+                                           10) == before
+
+    units = [e["unit"] for e in Manifest(d).entries()]
+    assert "mapping_update_0" in units and "mapping_update_1" in units
+
+    # engine-owned columns are protected
+    with pytest.raises(ValueError, match="protected"):
+        update_stored_fields(spark, d, drop=["doc_id"])
+    with pytest.raises(ValueError, match="protected"):
+        update_stored_fields(spark, d, add={"shard": "0"})
