@@ -188,6 +188,54 @@ def main() -> None:
     timings["op_ann_indexed_query_warm"] = round(time.time() - t0, 4)
     shutil.rmtree(ann_dir, ignore_errors=True)
 
+    # ANN at scale (r3 task #6): ≥1e5 vectors — the regime where bucket
+    # pruning beats the corpus scan (at the sf-dir's few-k vectors the
+    # indexed path loses to brute force on pure job overhead; that number
+    # stays above as the honest small-scale datapoint). Deterministic
+    # clustered corpus (12k centers × 10 members) so LSH recall is
+    # meaningful; synthesized in-process, no external data.
+    from deluge_spark.operators.similarity import AnnIndex
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n_centers, per, dim = 12_000, 10, 64
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((n_centers, dim))
+    big = (np.repeat(centers, per, axis=0)
+           + 0.05 * rng.standard_normal((n_centers * per, dim))
+           ).astype(np.float32)
+    nbig = len(big)
+    big_dir = tempfile.mkdtemp(prefix="deluge_bench_vec120k_")
+    offs = np.arange(0, (nbig + 1) * dim, dim, dtype=np.int32)
+    pq.write_table(
+        pa.table({"vec_id": pa.array(np.arange(nbig, dtype=np.int64)),
+                  "embedding": pa.ListArray.from_arrays(
+                      pa.array(offs), pa.array(big.reshape(-1)))}),
+        os.path.join(big_dir, "embeddings.parquet"))
+    emb_big = spark.read.parquet(big_dir)
+    qv_big = [float(x) for x in big[5]]
+    t0 = time.time()
+    brute_big = cosine_top_k(emb_big, qv_big, 10, exclude_id=5).collect()
+    timings["op_ann_cosine_120k"] = round(time.time() - t0, 4)
+    ann_big_dir = tempfile.mkdtemp(prefix="deluge_bench_ann120k_")
+    t0 = time.time()
+    build_ann_index(emb_big, ann_big_dir, n_planes=32, bands=4)
+    timings["op_ann_index_build_120k"] = round(time.time() - t0, 4)
+    srv = AnnIndex(spark, ann_big_dir, persist=True)
+    t0 = time.time()
+    srv.top_k(qv_big, 10, exclude_id=5).collect()
+    timings["op_ann_indexed_query_120k"] = round(time.time() - t0, 4)
+    t0 = time.time()
+    got_big = srv.top_k(qv_big, 10, exclude_id=5).collect()
+    timings["op_ann_indexed_query_120k_warm"] = round(time.time() - t0, 4)
+    srv.close()
+    recall = len({r.vec_id for r in brute_big}
+                 & {r.vec_id for r in got_big}) / 10.0
+    shutil.rmtree(big_dir, ignore_errors=True)
+    shutil.rmtree(ann_big_dir, ignore_errors=True)
+
     total = time.time() - t_total
     out = {
         "metric": "index_build_plus_bm25_query_wall",
@@ -204,6 +252,8 @@ def main() -> None:
         "build_stage_samples": stage_samples,
         "query_p50_ms": round(p50 * 1000, 2),
         "query_p95_ms": round(p95 * 1000, 2),
+        "ann_120k_recall_at_10": recall,
+        "ann_120k_n_vectors": nbig,
     }
     shutil.rmtree(idx, ignore_errors=True)
     spark.stop()

@@ -11,11 +11,13 @@ Paths, one semantics (cosine):
   on any matching band of hyperplane signs, exact cosine re-rank inside the
   candidate set. Approximate; recall grows with bands. Batch-mode (signs
   recomputed per call).
-- ``build_ann_index`` / ``ann_index_top_k``: the SERVING path — the sign
-  sketch is computed once and persisted as a (id, band, bucket) parquet
-  table (partitioned by band, bucket-sorted for row-group pruning) next to
-  a (id, vector, norm) table; a query touches only its own buckets plus the
-  candidate re-rank, never the full corpus.
+- ``build_ann_index`` / ``AnnIndex`` / ``ann_index_top_k``: the SERVING
+  path — the sign sketch is computed once and persisted as a (id, band,
+  bucket) parquet table (partitioned by band, bucket-sorted for row-group
+  pruning) next to a (id, vector, norm) table; a query touches only its own
+  buckets plus the candidate re-rank, never the full corpus. ``AnnIndex``
+  is the open-once handle for repeated queries (cached table handles,
+  optional in-memory pinning).
 
 Sign computation runs in ONE Arrow stage (``mapInArrow``): the plane matrix
 is regenerated deterministically from (dim, n_planes, seed) inside each
@@ -182,36 +184,85 @@ def build_ann_index(df: DataFrame, index_dir: str, id_col: str = "vec_id",
     return meta
 
 
+class AnnIndex:
+    """Open-once SERVING handle over a persisted ANN index: ``meta.json``
+    and the sketch/vectors DataFrame handles are resolved at open time and
+    reused across queries (no per-query file listing / schema inference);
+    with ``persist=True`` both tables are additionally pinned in cluster
+    memory, so repeated queries never touch parquet at all — the profile a
+    long-lived ANN service runs (VERDICT r3 task #6: cache the vectors-side
+    read across queries in serving mode).
+
+    One-shot convenience: ``ann_index_top_k`` (opens, queries, no pinning).
+    """
+
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 persist: bool = False):
+        self.spark = spark
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "meta.json")) as f:
+            self.meta = json.load(f)
+        self._sketch = spark.read.parquet(os.path.join(index_dir, "sketch"))
+        self._vectors = spark.read.parquet(
+            os.path.join(index_dir, "vectors"))
+        self._persisted = persist
+        if persist:
+            self._sketch = self._sketch.persist()
+            self._vectors = self._vectors.persist()
+
+    def top_k(self, query_vec: list[float], k: int = 10,
+              exclude_id: int | None = None,
+              round_dp: int = 6) -> DataFrame:
+        """Bucket lookup on the sketch (band partition pruning + bucket
+        predicate pushdown — the corpus is never rescanned), exact float64
+        re-rank over the candidates. → (vec_id, sim), same deterministic
+        ordering as ``cosine_top_k``."""
+        meta = self.meta
+        q = [float(x) for x in query_vec]
+        if len(q) != meta["dim"]:
+            raise ValueError(
+                f"query dim {len(q)} != index dim {meta['dim']}")
+        qb = _query_buckets(q, meta["n_planes"], meta["bands"],
+                            meta["seed"])
+        match = None
+        for b in range(meta["bands"]):
+            c = (F.col("band") == b) & (F.col("bucket") == int(qb[b]))
+            match = c if match is None else (match | c)
+        cand_ids = self._sketch.filter(match).select("id").distinct()
+        cand = self._vectors.join(cand_ids, "id", "left_semi")
+        qnorm = float(np.sqrt(np.dot(q, q)))
+        qarr = F.array(*[F.lit(x) for x in q])
+        sim = _dot(F.col("v"), qarr) / (F.col("nrm") * F.lit(qnorm))
+        out = cand.select(F.col("id").alias("vec_id"),
+                          F.round(sim, round_dp).alias("sim"))
+        if exclude_id is not None:
+            out = out.filter(F.col("vec_id") != exclude_id)
+        return out.orderBy(F.col("sim").desc(),
+                           F.col("vec_id").asc()).limit(k)
+
+    def close(self) -> None:
+        """Release pinned storage (no-op when opened without persist)."""
+        if self._persisted:
+            self._sketch.unpersist()
+            self._vectors.unpersist()
+            self._persisted = False
+
+    def __enter__(self) -> "AnnIndex":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
 def ann_index_top_k(spark: SparkSession, index_dir: str,
                     query_vec: list[float], k: int = 10,
                     exclude_id: int | None = None,
                     round_dp: int = 6) -> DataFrame:
-    """Serve a cosine top-k from a persisted ANN index: bucket lookup on the
-    sketch table (band partition pruning + bucket predicate pushdown — the
-    corpus is never rescanned), exact float64 re-rank over the candidates.
-    → (vec_id, sim), same deterministic ordering as ``cosine_top_k``."""
-    with open(os.path.join(index_dir, "meta.json")) as f:
-        meta = json.load(f)
-    q = [float(x) for x in query_vec]
-    if len(q) != meta["dim"]:
-        raise ValueError(f"query dim {len(q)} != index dim {meta['dim']}")
-    qb = _query_buckets(q, meta["n_planes"], meta["bands"], meta["seed"])
-    sk = spark.read.parquet(os.path.join(index_dir, "sketch"))
-    match = None
-    for b in range(meta["bands"]):
-        c = (F.col("band") == b) & (F.col("bucket") == int(qb[b]))
-        match = c if match is None else (match | c)
-    cand_ids = sk.filter(match).select("id").distinct()
-    vecs = spark.read.parquet(os.path.join(index_dir, "vectors"))
-    cand = vecs.join(cand_ids, "id", "left_semi")
-    qnorm = float(np.sqrt(np.dot(q, q)))
-    qarr = F.array(*[F.lit(x) for x in q])
-    sim = _dot(F.col("v"), qarr) / (F.col("nrm") * F.lit(qnorm))
-    out = cand.select(F.col("id").alias("vec_id"),
-                      F.round(sim, round_dp).alias("sim"))
-    if exclude_id is not None:
-        out = out.filter(F.col("vec_id") != exclude_id)
-    return out.orderBy(F.col("sim").desc(), F.col("vec_id").asc()).limit(k)
+    """One-shot serve from a persisted ANN index (open + single query; for
+    repeated queries hold an ``AnnIndex`` — it caches the table handles and
+    can pin them in memory)."""
+    return AnnIndex(spark, index_dir).top_k(query_vec, k, exclude_id,
+                                            round_dp)
 
 
 def cosine_near_pairs(df: DataFrame, threshold: float,

@@ -373,3 +373,38 @@ def test_ann_index_persisted_serves_queries(vectors, tmp_path):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "LocalTableScan" not in plan
     assert "EqualTo(bucket" in plan and "PushedFilters" in plan
+
+
+def test_ann_index_serving_handle(vectors, tmp_path):
+    """AnnIndex (r3 task #6): an open-once serving handle answers repeated
+    queries identically to the one-shot path; persist=True pins the index
+    tables in cluster memory (plan shows InMemory scans) and close()
+    releases them."""
+    from deluge_spark.operators.similarity import (
+        AnnIndex,
+        ann_index_top_k,
+        build_ann_index,
+    )
+
+    df, vs = vectors
+    d = str(tmp_path / "ann_srv")
+    build_ann_index(df, d, n_planes=16, bands=8)
+    spark = df.sparkSession
+
+    want = [(r.vec_id, r.sim)
+            for r in ann_index_top_k(spark, d, list(vs[0]), 5,
+                                     exclude_id=0).collect()]
+    with AnnIndex(spark, d, persist=True) as srv:
+        for qi in (0, 0, 2):  # repeats reuse the pinned tables
+            got = srv.top_k(list(vs[qi]), 5, exclude_id=qi)
+            if qi == 0:
+                assert [(r.vec_id, r.sim) for r in got.collect()] == want
+            else:
+                got.collect()
+        plan = srv.top_k(list(vs[0]), 5)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "InMemoryTableScan" in plan
+        pinned = [r for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()]
+        assert len(pinned) >= 2
+    # context exit released the pinned storage
+    assert not list(spark.sparkContext._jsc.sc().getRDDStorageInfo())
