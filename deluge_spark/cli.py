@@ -93,6 +93,22 @@ def main(argv: list[str] | None = None) -> int:
     um.add_argument("--drop", action="append", default=[],
                     help="stored-field column to drop, repeatable")
 
+    dl = sub.add_parser("delete",
+                        help="tombstone docs (ES delete-by-query analog); "
+                             "results exclude them immediately, stats "
+                             "change on purge")
+    dl.add_argument("--index", required=True)
+    dl.add_argument("--where", default=None,
+                    help="SQL predicate over stored fields "
+                         "(e.g. \"lang = 'go'\")")
+    dl.add_argument("--ids", default=None,
+                    help="comma-separated doc_ids")
+
+    pg = sub.add_parser("purge",
+                        help="physically drop tombstoned docs (segment "
+                             "rewrite, no re-tokenize) and refresh stats")
+    pg.add_argument("--index", required=True)
+
     ss = sub.add_parser("source-summary")
     ss.add_argument("--corpus", required=True)
     ss.add_argument("--text-col", default="content")
@@ -177,6 +193,17 @@ def main(argv: list[str] | None = None) -> int:
             add[name] = expr
         print(json.dumps(update_stored_fields(spark, args.index,
                                               add=add, drop=args.drop)))
+    elif args.cmd == "delete":
+        from deluge_spark.plans.admin import delete_docs
+
+        ids = ([int(x) for x in args.ids.split(",")]
+               if args.ids else None)
+        print(json.dumps(delete_docs(spark, args.index,
+                                     where=args.where, doc_ids=ids)))
+    elif args.cmd == "purge":
+        from deluge_spark.plans.admin import purge_deleted
+
+        print(json.dumps(purge_deleted(spark, args.index)))
     elif args.cmd == "source-summary":
         from deluge_spark.plans.admin import summarize_source
 

@@ -91,6 +91,14 @@ class Searcher:
         self._terms_path = os.path.join(index_dir, "stats", "terms")
         self._docs_path = os.path.join(index_dir, "docs")
         self._meta_path = os.path.join(index_dir, "docs_meta")
+        self._tombstones_path = os.path.join(index_dir, "tombstones")
+        # deletes (ES/Lucene semantics): tombstoned docs never appear in
+        # results; df/avgdl stay as-built until purge/merge, so survivor
+        # scores are byte-identical. ~8 B/id on the driver — the scale
+        # path for huge delete sets is purge_deleted(). Loaded at open;
+        # reopen (or a new Searcher) after further deletes, like an ES
+        # refresh.
+        self._tombstones = self._load_tombstones()
         self._df_map: dict[str, int] | None = None
         self._seg: DataFrame | None = None
         if cache_stats:
@@ -106,6 +114,18 @@ class Searcher:
     # -- helpers ----------------------------------------------------------
     def _empty(self) -> DataFrame:
         return self.spark.createDataFrame([], RESULT_SCHEMA)
+
+    def _load_tombstones(self) -> np.ndarray | None:
+        p = self._tombstones_path
+        try:
+            if not os.path.isdir(p) or not any(
+                    f.endswith(".parquet") for f in os.listdir(p)):
+                return None
+        except OSError:
+            return None
+        arr = np.unique(self.spark.read.parquet(p)
+                        .toPandas()["doc_id"].to_numpy(np.int64))
+        return arr if len(arr) else None
 
     def _segments(self) -> DataFrame:
         if self._seg is not None:
@@ -206,7 +226,8 @@ class Searcher:
         if algo == "auto":
             algo = "taat" if sum(dfs.values()) <= self.taat_cap else "wand"
         if algo == "taat":
-            return taat_top_k(rows, idfs, avgdl, k, round_dp, allowed)
+            return taat_top_k(rows, idfs, avgdl, k, round_dp, allowed,
+                              self._tombstones)
         if algo != "wand":
             raise ValueError(f"unknown algo: {algo}")
         by_shard: dict[int, list[dict]] = {}
@@ -216,7 +237,8 @@ class Searcher:
         for shard_rows in by_shard.values():
             its = [PostingIterator(r, idfs[r["term"]], avgdl)
                    for r in shard_rows]
-            merged.extend(wand_top_k(its, k, round_dp, allowed))
+            merged.extend(wand_top_k(its, k, round_dp, allowed,
+                                     self._tombstones))
         merged.sort(key=lambda x: (-round(x[1], round_dp), x[0]))
         return merged[:k]
 
@@ -284,20 +306,23 @@ class Searcher:
         """
         sc = self.spark.sparkContext
         b_idfs = sc.broadcast(idfs)
+        b_tomb = (sc.broadcast(self._tombstones)
+                  if self._tombstones is not None else None)
         taat_cap = self.taat_cap
 
         def _shard_wand(seg_pdf: pd.DataFrame,
                         allowed: np.ndarray | None) -> pd.DataFrame:
             rows = seg_pdf.to_dict("records")
+            banned = b_tomb.value if b_tomb is not None else None
             # cost-based pick per shard (same ranking either way): few
             # matched postings → vectorized exhaustive beats the DAAT loop
             if int(seg_pdf["n_postings"].sum()) <= taat_cap:
                 top = taat_top_k(rows, b_idfs.value, avgdl, k, round_dp,
-                                 allowed)
+                                 allowed, banned)
             else:
                 its = [PostingIterator(row, b_idfs.value[row["term"]], avgdl)
                        for row in rows]
-                top = wand_top_k(its, k, round_dp, allowed)
+                top = wand_top_k(its, k, round_dp, allowed, banned)
             return pd.DataFrame(
                 {"doc_id": [d for d, _ in top],
                  "score": [s for _, s in top]})
@@ -350,6 +375,10 @@ class Searcher:
                 cond = c if cond is None else (cond & c)
             scored = scored.join(docs.filter(cond).select("doc_id"),
                                  "doc_id", "left_semi")
+        if self._tombstones is not None:
+            tomb = self.spark.read.parquet(self._tombstones_path)
+            scored = scored.join(tomb.select("doc_id"), "doc_id",
+                                 "left_anti")
         return (scored
                 .select("doc_id", F.round("score", round_dp).alias("score"))
                 .orderBy(F.col("score").desc(), F.col("doc_id").asc())

@@ -143,6 +143,7 @@ def taat_top_k(
     k: int,
     round_dp: int = 9,
     allowed: np.ndarray | None = None,
+    banned: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
     """Vectorized term-at-a-time exhaustive scoring — the cheap-query path.
 
@@ -182,6 +183,14 @@ def taat_top_k(
         ok = (j < len(allowed)) & (allowed[np.minimum(j, len(allowed) - 1)]
                                    == uids)
         uids, sums = uids[ok], sums[ok]
+    if banned is not None and len(banned) and len(uids):
+        # tombstoned docs (sorted int64): dropped from candidates, scores
+        # of the survivors untouched (ES/Lucene delete semantics — df and
+        # avgdl change only on purge/merge)
+        j = np.searchsorted(banned, uids)
+        hit = (j < len(banned)) & (banned[np.minimum(j, len(banned) - 1)]
+                                   == uids)
+        uids, sums = uids[~hit], sums[~hit]
     if not len(uids):
         return []
     r = np.round(sums, round_dp)
@@ -194,12 +203,15 @@ def wand_top_k(
     k: int,
     round_dp: int = 9,
     allowed: np.ndarray | None = None,
+    banned: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
     """Block-max WAND over one shard's iterators → [(doc_id, exact_score)].
 
     ``allowed``: optional sorted int64 array of permitted doc_ids (keyword
     filters, north-star B7) — candidates outside it are skipped before
-    scoring.
+    scoring. ``banned``: optional sorted int64 array of tombstoned doc_ids
+    (deletes) — candidates inside it are skipped before scoring; survivor
+    scores are untouched (ES/Lucene delete semantics).
     """
     eps = 10.0 ** (-round_dp)
     its = [it for it in lists if not it.exhausted]
@@ -230,6 +242,13 @@ def wand_top_k(
             if allowed is not None:
                 j = int(np.searchsorted(allowed, pivot_doc))
                 if j >= len(allowed) or allowed[j] != pivot_doc:
+                    for it in its:
+                        if not it.exhausted and it.cur_doc == pivot_doc:
+                            it.next()
+                    continue
+            if banned is not None and len(banned):
+                j = int(np.searchsorted(banned, pivot_doc))
+                if j < len(banned) and banned[j] == pivot_doc:
                     for it in its:
                         if not it.exhausted and it.cur_doc == pivot_doc:
                             it.next()

@@ -67,8 +67,10 @@ def index_summary(spark: SparkSession, index_dir: str) -> dict:
             F.sum(F.length("data")).alias("bytes")).collect()
     }
     man = Manifest(index_dir)
+    tomb = _read_tombstones(spark, index_dir)
     return {
         "n_docs": stats["n_docs"],
+        "tombstoned": 0 if tomb is None else tomb.count(),
         "avgdl": stats["avgdl"],
         "total_postings": stats["total_postings"],
         "num_shards": stats["num_shards"],
@@ -181,6 +183,113 @@ def update_stored_fields(spark: SparkSession, index_dir: str,
             "updates_applied": n_prior + 1}
 
 
+def _read_tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    """The index's tombstone set as DataFrame(doc_id) — None when empty."""
+    p = os.path.join(index_dir, "tombstones")
+    try:
+        if not os.path.isdir(p) or not any(
+                f.endswith(".parquet") for f in os.listdir(p)):
+            return None
+    except OSError:
+        return None
+    return spark.read.parquet(p).select("doc_id").distinct()
+
+
+def delete_docs(spark: SparkSession, index_dir: str,
+                where: str | None = None,
+                doc_ids: list[int] | None = None) -> dict:
+    """Delete documents from a built index — tombstones, not a rebuild
+    (ES delete/delete-by-query semantics; the reference's users have this
+    through ES while deluge itself is ingest-only).
+
+    ``where`` is a SQL predicate over the ``docs`` stored fields (e.g.
+    ``"lang = 'go'"``); ``doc_ids`` an explicit id list. Either or both.
+    Matched doc_ids append to ``index_dir/tombstones`` (parquet).
+    Tombstoned docs disappear from every search path immediately on the
+    next ``Searcher`` open; df/avgdl stay as-built until ``purge_deleted``
+    / ``reindex`` (Lucene semantics: survivor scores unchanged by a
+    delete). Each call commits a ``delete_<n>`` manifest unit."""
+    if where is None and doc_ids is None:
+        raise ValueError("pass where= and/or doc_ids=")
+    docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+    matched = None
+    if where is not None:
+        matched = docs.filter(F.expr(where)).select("doc_id")
+    if doc_ids is not None:
+        explicit = spark.createDataFrame(
+            [(int(i),) for i in doc_ids], "doc_id long")
+        # resolve through the docs table: nonexistent ids are not counted
+        explicit = docs.select("doc_id").join(explicit, "doc_id",
+                                              "left_semi")
+        matched = explicit if matched is None else matched.union(explicit)
+    matched = matched.distinct()
+    prior = _read_tombstones(spark, index_dir)
+    n_prior = 0 if prior is None else prior.count()
+    if prior is not None:
+        matched = matched.join(prior, "doc_id", "left_anti")
+    # count BEFORE the append: a post-append re-read would see the new files
+    n_deleted = matched.count()
+    if n_deleted:
+        matched.write.mode("append").parquet(
+            os.path.join(index_dir, "tombstones"))
+    total = n_prior + n_deleted
+    man = Manifest(index_dir)
+    n_units = sum(1 for e in man.entries()
+                  if e["unit"].startswith("delete_"))
+    man.commit(f"delete_{n_units}", deleted=n_deleted,
+               total_tombstoned=total, where=where)
+    return {"deleted": n_deleted, "total_tombstoned": total}
+
+
+def purge_deleted(spark: SparkSession, index_dir: str) -> dict:
+    """Physically remove tombstoned docs: rewrite segments/docs/docs_meta/
+    stats without them (one decode→filter→re-encode pass over the index —
+    no re-tokenization) and clear the tombstone set. After purge, df/avgdl/
+    n_docs reflect the live corpus, so scores change exactly as an ES
+    segment merge changes them. Crash-safe via the retired-dir swap (same
+    recovery contract as ``update_stored_fields``)."""
+    SWAP = ("docs", "docs_meta", "segments", "stats")
+    retired = os.path.join(index_dir, ".purge_retired")
+    # crash recovery: restore any data dir that vanished mid-swap
+    for name in SWAP:
+        live = os.path.join(index_dir, name)
+        old = os.path.join(retired, name)
+        if not os.path.exists(live) and os.path.exists(old):
+            os.rename(old, live)
+    if os.path.exists(retired):
+        shutil.rmtree(retired)
+
+    tomb = _read_tombstones(spark, index_dir)
+    if tomb is None:
+        return {"purged": 0, "n_docs": read_global_stats(index_dir)["n_docs"]}
+    n_tomb = tomb.count()
+    stats = read_global_stats(index_dir)
+    cfg = BuildConfig(num_shards=int(stats["num_shards"]))
+
+    tmp = os.path.join(index_dir, ".purge_tmp")
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    reindex(spark, index_dir, tmp, cfg)  # reindex drops tombstoned docs
+
+    os.makedirs(retired)
+    for name in SWAP:
+        os.rename(os.path.join(index_dir, name),
+                  os.path.join(retired, name))
+    for name in SWAP:
+        os.rename(os.path.join(tmp, name), os.path.join(index_dir, name))
+    shutil.rmtree(retired)
+    shutil.rmtree(tmp)  # leftover tmp manifest
+    shutil.rmtree(os.path.join(index_dir, "tombstones"))
+
+    new_stats = read_global_stats(index_dir)
+    man = Manifest(index_dir)
+    n_units = sum(1 for e in man.entries()
+                  if e["unit"].startswith("purge_"))
+    man.commit(f"purge_{n_units}", purged=n_tomb,
+               n_docs=new_stats["n_docs"])
+    return {"purged": n_tomb, "n_docs": new_stats["n_docs"]}
+
+
 def reindex(spark: SparkSession, index_dir: str, out_dir: str,
             config: BuildConfig | None = None) -> dict:
     """Clone/migrate an index to a new layout from its tf checkpoints —
@@ -196,6 +305,12 @@ def reindex(spark: SparkSession, index_dir: str, out_dir: str,
     tf = (tf_from_segments(spark, index_dir)
           .withColumn("shard", F.pmod(F.col("doc_id"),
                                       F.lit(cfg.num_shards)).cast("int")))
+    # rebuild = the natural purge point (Lucene merge semantics): the new
+    # index is born without the source's tombstoned docs, and stats reflect
+    # the live corpus
+    tomb = _read_tombstones(spark, index_dir)
+    if tomb is not None:
+        tf = tf.join(tomb, "doc_id", "left_anti")
 
     dl_df = tf.groupBy("doc_id").agg(F.max("dl").cast("long").alias("dl"))
     dl_df.write.mode("overwrite").parquet(os.path.join(out_dir, "docs_meta"))
@@ -212,6 +327,8 @@ def reindex(spark: SparkSession, index_dir: str, out_dir: str,
 
     # copy docs + tf checkpoints (lineage preserved), recompute shard col
     src_docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+    if tomb is not None:
+        src_docs = src_docs.join(tomb, "doc_id", "left_anti")
     (src_docs.drop("shard")
      .withColumn("shard", F.pmod(F.col("doc_id"),
                                  F.lit(cfg.num_shards)).cast("int"))

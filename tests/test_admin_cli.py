@@ -92,6 +92,17 @@ def test_cli_end_to_end(spark, corpus_df, tmp_path_factory):
     hits3 = run("search", "--index", idx, "--query", "import return",
                 "-k", "3")
     assert hits3 == hits  # mapping evolution preserves results too
+    # delete → tombstoned out of results; purge → physical removal + stats
+    victim = hits3[0]["doc_id"]
+    assert run("delete", "--index", idx, "--ids",
+               str(victim))[-1]["deleted"] == 1
+    hits4 = run("search", "--index", idx, "--query", "import return",
+                "-k", "3")
+    assert victim not in [h["doc_id"] for h in hits4]
+    assert run("purge", "--index", idx)[-1]["purged"] == 1
+    summ2 = run("summary", "--index", idx)[-1]
+    assert summ2["n_docs"] == summ["n_docs"] - 1
+    assert summ2["tombstoned"] == 0
 
 
 def test_cli_ingest_raw_jsonl(tmp_path_factory):

@@ -394,6 +394,7 @@ def test_ann_index_serving_handle(vectors, tmp_path):
     want = [(r.vec_id, r.sim)
             for r in ann_index_top_k(spark, d, list(vs[0]), 5,
                                      exclude_id=0).collect()]
+    n_pinned_before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
     with AnnIndex(spark, d, persist=True) as srv:
         for qi in (0, 0, 2):  # repeats reuse the pinned tables
             got = srv.top_k(list(vs[qi]), 5, exclude_id=qi)
@@ -405,6 +406,8 @@ def test_ann_index_serving_handle(vectors, tmp_path):
             .executedPlan().toString()
         assert "InMemoryTableScan" in plan
         pinned = [r for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()]
-        assert len(pinned) >= 2
-    # context exit released the pinned storage
-    assert not list(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+        assert len(pinned) >= n_pinned_before + 2
+    # context exit released the handle's pinned storage (other tests in the
+    # shared session may hold their own — compare against the baseline)
+    assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) \
+        == n_pinned_before
