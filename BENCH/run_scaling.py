@@ -143,7 +143,8 @@ def run_level(cpus: int, corpus_path: str) -> dict:
     env = dict(os.environ, REPO=REPO, CPUS=str(cpus), CORPUS_PATH=corpus_path,
                PYTHONPATH=REPO)
     p = subprocess.run([sys.executable, "-c", RUNNER], env=env,
-                       capture_output=True, text=True, timeout=3600)
+                       capture_output=True, text=True,
+                       timeout=int(os.environ.get("SCALING_TIMEOUT", "7200")))
     for line in p.stdout.splitlines():
         if line.startswith("SCALING_RESULT "):
             return json.loads(line[len("SCALING_RESULT "):])
@@ -157,15 +158,36 @@ def main() -> None:
     repeats = int(os.environ.get("SCALING_REPEATS", "2"))
     lo, hi = (int(x) for x in
               os.environ.get("SCALING_LEVELS", "2,8").split(","))
+    # SCALING_CHUNKS: generate the corpus in independent seeded chunks of
+    # sf/chunks each (driver-side pandas generation of multi-million-doc
+    # corpora in one frame is memory-prohibitive; chunk paths are prefixed
+    # so the (repo, path, commit) natural key stays globally unique)
+    chunks = int(os.environ.get("SCALING_CHUNKS", "1"))
     corpus_path = os.path.join(
-        REPO, "BENCH", f".corpus_sf{sf}_b{body_scale}.parquet")
+        REPO, "BENCH",
+        f".corpus_sf{sf}_b{body_scale}"
+        + (f"_c{chunks}" if chunks > 1 else "") + ".parquet")
     if not os.path.exists(corpus_path):
         sys.path.insert(0, REPO)
         from deluge_spark.session import get_spark
-        from deluge_spark.corpus import write_corpus_parquet
+        from deluge_spark.corpus import (
+            SEED,
+            generate_corpus_pdf,
+            write_corpus_parquet,
+        )
         spark = get_spark("gen_corpus", cores=8)
-        write_corpus_parquet(spark, corpus_path, sf, partitions=64,
-                             body_scale=body_scale)
+        if chunks == 1:
+            write_corpus_parquet(spark, corpus_path, sf, partitions=64,
+                                 body_scale=body_scale)
+        else:
+            for c in range(chunks):
+                pdf = generate_corpus_pdf(sf / chunks, seed=SEED + c,
+                                          body_scale=body_scale)
+                pdf["path"] = f"chunk{c}/" + pdf["path"]
+                (spark.createDataFrame(pdf)
+                 .repartition(max(1, 64 // chunks), "repo")
+                 .write.mode("append").parquet(corpus_path))
+                print(f"corpus chunk {c + 1}/{chunks} written", flush=True)
         spark.stop()
 
     hw_pre = hardware_ceiling([lo, hi])   # ceiling sampled in-window,
