@@ -453,9 +453,16 @@ def _tokenize_encode_partials(df: DataFrame, text_col: str, mode: str,
         doc = np.concatenate(docs_l)
         tf = np.concatenate(tf_l)
         dl = np.concatenate(dl_l)
-        terms = pa.concat_arrays([t.combine_chunks()
-                                  if isinstance(t, pa.ChunkedArray) else t
-                                  for t in terms_l])
+        # accumulate term text with 64-bit offsets: one partition can carry
+        # >2 GiB of term bytes (at 1 core shuffle_partitions=2 puts half the
+        # corpus in one range partition; cluster partitions are bounded by
+        # maxPartitionBytes, but the engine must not die on a fat one) —
+        # pa.string()'s int32 offsets overflow there. Found by the 2.5M-doc
+        # scaling run; per-chunk outputs cast back to string below.
+        terms = pa.concat_arrays([
+            (t.combine_chunks() if isinstance(t, pa.ChunkedArray) else t)
+            .cast(pa.large_string())
+            for t in terms_l])
         denc = pc.dictionary_encode(terms)
         if isinstance(denc, pa.ChunkedArray):
             denc = denc.combine_chunks()
@@ -491,7 +498,8 @@ def _tokenize_encode_partials(df: DataFrame, text_col: str, mode: str,
             k = key[s:e][g["term_pos"]]
             shard_out = (k % num_shards).astype(np.int32)
             term_out = pc.take(dictionary,
-                               pa.array(k // num_shards, pa.int64()))
+                               pa.array(k // num_shards, pa.int64())
+                               ).cast(pa.string())  # chunk-sized: no wrap
             first_doc = g["block_first"][g["term_block_offsets"][:-1]]
             list_offsets = pa.array(g["term_block_offsets"].astype("int32"),
                                     pa.int32())
