@@ -180,14 +180,22 @@ def main() -> None:
             write_corpus_parquet(spark, corpus_path, sf, partitions=64,
                                  body_scale=body_scale)
         else:
+            # write to a tmp dir and rename on completion: chunked appends
+            # interrupted mid-generation must not leave a partial corpus
+            # that later runs silently reuse via the existence check above
+            tmp_corpus = corpus_path + ".tmp"
+            if os.path.exists(tmp_corpus):
+                import shutil
+                shutil.rmtree(tmp_corpus)
             for c in range(chunks):
                 pdf = generate_corpus_pdf(sf / chunks, seed=SEED + c,
                                           body_scale=body_scale)
                 pdf["path"] = f"chunk{c}/" + pdf["path"]
                 (spark.createDataFrame(pdf)
                  .repartition(max(1, 64 // chunks), "repo")
-                 .write.mode("append").parquet(corpus_path))
+                 .write.mode("append").parquet(tmp_corpus))
                 print(f"corpus chunk {c + 1}/{chunks} written", flush=True)
+            os.rename(tmp_corpus, corpus_path)
         spark.stop()
 
     hw_pre = hardware_ceiling([lo, hi])   # ceiling sampled in-window,
