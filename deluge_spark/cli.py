@@ -196,8 +196,13 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "delete":
         from deluge_spark.plans.admin import delete_docs
 
-        ids = ([int(x) for x in args.ids.split(",")]
-               if args.ids else None)
+        try:
+            ids = ([int(x.strip()) for x in args.ids.split(",")
+                    if x.strip()]
+                   if args.ids else None)
+        except ValueError:
+            raise SystemExit(
+                f"--ids expects comma-separated integers, got {args.ids!r}")
         print(json.dumps(delete_docs(spark, args.index,
                                      where=args.where, doc_ids=ids)))
     elif args.cmd == "purge":

@@ -956,6 +956,21 @@ def _build_segments(postings: DataFrame,
     return grouped.mapInArrow(_encode_batches, schema=SEGMENT_SCHEMA)
 
 
+def read_tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    """The index's tombstone set as DataFrame(doc_id) — None when absent or
+    empty. THE single owner of the tombstone-directory layout check: both
+    the query side (Searcher) and the admin side (delete/purge/reindex/
+    summary) resolve tombstones through here."""
+    p = os.path.join(index_dir, "tombstones")
+    try:
+        if not os.path.isdir(p) or not any(
+                f.endswith(".parquet") for f in os.listdir(p)):
+            return None
+    except OSError:
+        return None
+    return spark.read.parquet(p).select("doc_id").distinct()
+
+
 def read_segments(spark: SparkSession, index_dir: str,
                   batches: list[str] | None = None) -> DataFrame:
     """Read segment rows. The batch-dir list comes from stats/global.json

@@ -99,6 +99,7 @@ class Searcher:
         # reopen (or a new Searcher) after further deletes, like an ES
         # refresh.
         self._tombstones = self._load_tombstones()
+        self._tomb_bcast = None  # lazily broadcast on first distributed use
         self._df_map: dict[str, int] | None = None
         self._seg: DataFrame | None = None
         if cache_stats:
@@ -116,16 +117,22 @@ class Searcher:
         return self.spark.createDataFrame([], RESULT_SCHEMA)
 
     def _load_tombstones(self) -> np.ndarray | None:
-        p = self._tombstones_path
-        try:
-            if not os.path.isdir(p) or not any(
-                    f.endswith(".parquet") for f in os.listdir(p)):
-                return None
-        except OSError:
+        from deluge_spark.index.build import read_tombstones
+
+        df = read_tombstones(self.spark, self.index_dir)
+        if df is None:
             return None
-        arr = np.unique(self.spark.read.parquet(p)
-                        .toPandas()["doc_id"].to_numpy(np.int64))
+        arr = np.unique(df.toPandas()["doc_id"].to_numpy(np.int64))
         return arr if len(arr) else None
+
+    def _tombstones_df(self) -> DataFrame | None:
+        """The open-time tombstone SNAPSHOT as a DataFrame — every search
+        path answers from the same snapshot (never a re-read of the
+        tombstones dir, which may have grown or been purged since open)."""
+        if self._tombstones is None:
+            return None
+        return self.spark.createDataFrame(
+            pd.DataFrame({"doc_id": self._tombstones}))
 
     def _segments(self) -> DataFrame:
         if self._seg is not None:
@@ -306,8 +313,11 @@ class Searcher:
         """
         sc = self.spark.sparkContext
         b_idfs = sc.broadcast(idfs)
-        b_tomb = (sc.broadcast(self._tombstones)
-                  if self._tombstones is not None else None)
+        # the tombstone set is fixed at open — broadcast once, reuse across
+        # queries (unlike b_idfs, which is genuinely per-query)
+        if self._tombstones is not None and self._tomb_bcast is None:
+            self._tomb_bcast = sc.broadcast(self._tombstones)
+        b_tomb = self._tomb_bcast
         taat_cap = self.taat_cap
 
         def _shard_wand(seg_pdf: pd.DataFrame,
@@ -369,16 +379,12 @@ class Searcher:
                                   self.stats["avgdl"], terms)
         if filters:
             docs = self.spark.read.parquet(self._docs_path)
-            cond = None
-            for col, val in filters.items():
-                c = F.col(col) == val
-                cond = c if cond is None else (cond & c)
-            scored = scored.join(docs.filter(cond).select("doc_id"),
-                                 "doc_id", "left_semi")
-        if self._tombstones is not None:
-            tomb = self.spark.read.parquet(self._tombstones_path)
-            scored = scored.join(tomb.select("doc_id"), "doc_id",
-                                 "left_anti")
+            scored = scored.join(
+                docs.filter(self._filter_cond(filters)).select("doc_id"),
+                "doc_id", "left_semi")
+        tomb = self._tombstones_df()
+        if tomb is not None:
+            scored = scored.join(tomb, "doc_id", "left_anti")
         return (scored
                 .select("doc_id", F.round("score", round_dp).alias("score"))
                 .orderBy(F.col("score").desc(), F.col("doc_id").asc())

@@ -29,6 +29,7 @@ from deluge_spark.index.build import (
     _build_segments,
     read_global_stats,
     read_segments,
+    read_tombstones,
 )
 from deluge_spark.index.manifest import Manifest
 
@@ -67,7 +68,7 @@ def index_summary(spark: SparkSession, index_dir: str) -> dict:
             F.sum(F.length("data")).alias("bytes")).collect()
     }
     man = Manifest(index_dir)
-    tomb = _read_tombstones(spark, index_dir)
+    tomb = read_tombstones(spark, index_dir)
     return {
         "n_docs": stats["n_docs"],
         "tombstoned": 0 if tomb is None else tomb.count(),
@@ -162,6 +163,12 @@ def update_stored_fields(spark: SparkSession, index_dir: str,
     missing = [c for c in drop if c not in docs.columns]
     if missing:
         raise ValueError(f"cannot drop absent columns: {missing}")
+    clash = [c for c in add if c in docs.columns]
+    if clash:
+        raise ValueError(
+            f"columns already exist: {clash} — add= must not silently "
+            f"overwrite stored data; drop them (in a prior call) to "
+            f"re-derive")
     for name, expr in add.items():
         docs = docs.withColumn(
             name, F.expr(expr) if isinstance(expr, str) else expr)
@@ -181,18 +188,6 @@ def update_stored_fields(spark: SparkSession, index_dir: str,
                added=sorted(add), dropped=sorted(drop), columns=cols)
     return {"added": sorted(add), "dropped": sorted(drop), "columns": cols,
             "updates_applied": n_prior + 1}
-
-
-def _read_tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
-    """The index's tombstone set as DataFrame(doc_id) — None when empty."""
-    p = os.path.join(index_dir, "tombstones")
-    try:
-        if not os.path.isdir(p) or not any(
-                f.endswith(".parquet") for f in os.listdir(p)):
-            return None
-    except OSError:
-        return None
-    return spark.read.parquet(p).select("doc_id").distinct()
 
 
 def delete_docs(spark: SparkSession, index_dir: str,
@@ -223,7 +218,7 @@ def delete_docs(spark: SparkSession, index_dir: str,
                                               "left_semi")
         matched = explicit if matched is None else matched.union(explicit)
     matched = matched.distinct()
-    prior = _read_tombstones(spark, index_dir)
+    prior = read_tombstones(spark, index_dir)
     n_prior = 0 if prior is None else prior.count()
     if prior is not None:
         matched = matched.join(prior, "doc_id", "left_anti")
@@ -259,11 +254,21 @@ def purge_deleted(spark: SparkSession, index_dir: str) -> dict:
     if os.path.exists(retired):
         shutil.rmtree(retired)
 
-    tomb = _read_tombstones(spark, index_dir)
-    if tomb is None:
-        return {"purged": 0, "n_docs": read_global_stats(index_dir)["n_docs"]}
-    n_tomb = tomb.count()
+    tomb = read_tombstones(spark, index_dir)
     stats = read_global_stats(index_dir)
+    if tomb is None:
+        return {"purged": 0, "n_docs": stats["n_docs"]}
+    # crash convergence: only ids that still exist in docs count. A crash
+    # after the swap but before the tombstone cleanup leaves a fully
+    # purged index with a stale tombstone set — detected here as zero live
+    # tombstones, resolved by clearing the set, NOT by re-counting the
+    # purge or rewriting the index again.
+    docs_ids = spark.read.parquet(
+        os.path.join(index_dir, "docs")).select("doc_id")
+    n_tomb = tomb.join(docs_ids, "doc_id", "left_semi").count()
+    if n_tomb == 0:
+        shutil.rmtree(os.path.join(index_dir, "tombstones"))
+        return {"purged": 0, "n_docs": stats["n_docs"]}
     cfg = BuildConfig(num_shards=int(stats["num_shards"]))
 
     tmp = os.path.join(index_dir, ".purge_tmp")
@@ -308,7 +313,7 @@ def reindex(spark: SparkSession, index_dir: str, out_dir: str,
     # rebuild = the natural purge point (Lucene merge semantics): the new
     # index is born without the source's tombstoned docs, and stats reflect
     # the live corpus
-    tomb = _read_tombstones(spark, index_dir)
+    tomb = read_tombstones(spark, index_dir)
     if tomb is not None:
         tf = tf.join(tomb, "doc_id", "left_anti")
 

@@ -122,3 +122,62 @@ def test_delete_requires_selector(spark, corpus_df, tmp_path_factory):
     d = _build(spark, corpus_df, tmp_path_factory, "del_args")
     with pytest.raises(ValueError, match="where"):
         delete_docs(spark, d)
+
+
+def test_purge_clears_stale_tombstones_without_rewrite(
+        spark, corpus_df, tmp_path_factory):
+    """Crash-recovery convergence (review finding): tombstones referencing
+    docs that no longer exist (a crash after the purge swap but before the
+    tombstone cleanup) must not trigger a pointless full rewrite or double
+    count — purge detects staleness, clears the set, reports purged=0."""
+    d = _build(spark, corpus_df, tmp_path_factory, "stale_tomb")
+    import os as _os
+    n0 = Searcher(spark, d).stats["n_docs"]
+    spark.createDataFrame([(10**12,), (10**12 + 1,)], "doc_id long") \
+        .write.parquet(_os.path.join(d, "tombstones"))
+    out = purge_deleted(spark, d)
+    assert out["purged"] == 0 and out["n_docs"] == n0
+    assert not _os.path.isdir(_os.path.join(d, "tombstones"))
+
+
+def test_open_searcher_is_a_consistent_snapshot(
+        spark, corpus_df, tmp_path_factory):
+    """All four search paths of ONE open Searcher answer from the same
+    open-time tombstone snapshot (review finding: search_dataframe used to
+    re-read the tombstone dir at query time, diverging from the others and
+    crashing after purge)."""
+    d = _build(spark, corpus_df, tmp_path_factory, "snap_idx")
+    s0 = Searcher(spark, d)
+    base = s0.search_local(Q, 10)
+    victim = base[0][0]
+    delete_docs(spark, d, doc_ids=[victim])
+
+    # the handle opened BEFORE the delete still serves the old snapshot,
+    # consistently on every path
+    assert s0.search_local(Q, 10) == base
+    assert [r["doc_id"] for r in s0.search_dataframe(Q, 10).collect()] == \
+        [doc for doc, _ in base]
+
+    s1 = Searcher(spark, d)  # opened after the delete: excludes everywhere
+    assert victim not in [doc for doc, _ in s1.search_local(Q, 10)]
+    assert victim not in [r["doc_id"]
+                          for r in s1.search_dataframe(Q, 10).collect()]
+
+    purge_deleted(spark, d)
+    # s1's snapshot still references the (now absent) victim id — queries
+    # must keep working against the purged index, not crash on a vanished
+    # tombstones dir
+    assert victim not in [r["doc_id"]
+                          for r in s1.search_dataframe(Q, 10).collect()]
+    assert victim not in [doc for doc, _ in s1.search_local(Q, 10)]
+
+
+def test_update_stored_fields_rejects_existing_column(
+        spark, corpus_df, tmp_path_factory):
+    """Review finding: add= of a column that already exists would silently
+    overwrite stored data — must be rejected (drop it first to re-derive)."""
+    from deluge_spark.plans.admin import update_stored_fields
+
+    d = _build(spark, corpus_df, tmp_path_factory, "map_guard")
+    with pytest.raises(ValueError, match="exist"):
+        update_stored_fields(spark, d, add={"lang": "'go'"})
