@@ -177,6 +177,32 @@ def _bm25_wand(spark: SparkSession, sf_dir: str, query: str, k: int,
             .orderBy(F.col("score").desc(), F.col("doc_id").asc()))
 
 
+BATCH_QUERIES = {"multi": ("spark join table", 10),
+                 "hot": ("data", 20),
+                 "rare_pair": ("window order fast", 15)}
+
+
+def _bm25_wand_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch engine path: all BATCH_QUERIES answered by ONE distributed
+    job (Searcher.search_many — union'd segment scan, per-shard per-query
+    cost-based TAAT/WAND, single per-query global merge)."""
+    s = _get_searcher(spark, sf_dir)
+    out = s.search_many({name: q for name, (q, _) in BATCH_QUERIES.items()},
+                        k=max(k for _, k in BATCH_QUERIES.values()),
+                        round_dp=SCORE_DP)
+    # per-query k differs: apply each query's own k on the merged frame
+    from pyspark.sql import Window
+    w = Window.partitionBy("query").orderBy(
+        F.round("score", SCORE_DP).desc(), F.col("doc_id").asc())
+    ks = F.create_map(*[x for name, (_, k) in BATCH_QUERIES.items()
+                        for x in (F.lit(name), F.lit(k))])
+    return (out.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= ks[F.col("query")]).drop("rn")
+            .select("query", "doc_id",
+                    F.round("score", SCORE_DP).alias("score"))
+            .orderBy("query", F.col("score").desc(), F.col("doc_id").asc()))
+
+
 def _bm25_sql(query: str, k: int, lang: str | None = None) -> str:
     terms = list(dict.fromkeys(tokenize_py(query, "code")))
     vals = ", ".join(f"('{t}')" for t in terms)
@@ -239,6 +265,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_wand_filtered"] = lambda s, d: _bm25_wand(
         s, d, "batch value", 10, lang="en")
     q["bm25_wand_missing"] = lambda s, d: _bm25_wand(s, d, "zzzabsentterm", 10)
+    # batch serving path: M queries in ONE distributed job (search_many)
+    q["bm25_wand_batch"] = lambda s, d: _bm25_wand_batch(s, d)
     # bm25_topk_*: the pure-DataFrame scoring twin (cross-check path).
     q["bm25_topk_multi"] = lambda s, d: _bm25(s, d, "spark join table", 10)
     q["bm25_topk_hot"] = lambda s, d: _bm25(s, d, "data", 20)
@@ -472,6 +500,9 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_wand_rare_pair"] = _bm25_sql("window order fast", 15)
     o["bm25_wand_filtered"] = _bm25_sql("batch value", 10, lang="en")
     o["bm25_wand_missing"] = _bm25_sql("zzzabsentterm", 10)
+    o["bm25_wand_batch"] = " UNION ALL ".join(
+        f"SELECT '{name}' AS query, * FROM ({_bm25_sql(q, k)})"
+        for name, (q, k) in BATCH_QUERIES.items())
     o["bm25_topk_multi"] = _bm25_sql("spark join table", 10)
     o["bm25_topk_hot"] = _bm25_sql("data", 20)
     o["bm25_topk_rare_pair"] = _bm25_sql("window order fast", 15)

@@ -301,6 +301,80 @@ class Searcher:
         return out.orderBy(F.round("score", round_dp).desc(),
                            F.col("doc_id").asc())
 
+    def search_many(self, queries: dict[str, str], k: int = 10,
+                    round_dp: int = 9) -> DataFrame:
+        """Batch top-k for MANY queries in ONE distributed job →
+        DataFrame(query, doc_id, score), per-query ranking identical to
+        ``search(mode='distributed')``.
+
+        The cluster-serving shape for query-set evaluation over a huge
+        index: per-shard tasks receive the union of all queries' matched
+        segment rows ONCE, score every query locally (per-query cost-based
+        TAAT/WAND, same pick as the single-query path), and one per-query
+        global merge takes each top-k — M queries cost one filtered
+        segments scan instead of M Spark jobs. Queries whose terms are all
+        unknown simply produce no rows."""
+        from pyspark.sql import Window
+
+        qterms = {name: [t for t in dict.fromkeys(tokenize_py(q, self.mode))]
+                  for name, q in queries.items()}
+        all_terms = sorted({t for ts in qterms.values() for t in ts})
+        out_schema = "query string, doc_id long, score double"
+        if not all_terms:
+            return self.spark.createDataFrame([], out_schema)
+        dfs = self._term_dfs(all_terms)
+        n = self.stats["n_docs"]
+        idfs = {t: idf(n, d) for t, d in dfs.items()}
+        avgdl = float(self.stats["avgdl"])
+        qterms = {name: [t for t in ts if t in idfs]
+                  for name, ts in qterms.items()}
+        live = sorted({t for ts in qterms.values() for t in ts})
+        if not live:
+            return self.spark.createDataFrame([], out_schema)
+
+        seg = self._segments().filter(F.col("term").isin(live))
+        sc = self.spark.sparkContext
+        b_idfs = sc.broadcast(idfs)
+        b_qterms = sc.broadcast(qterms)
+        if self._tombstones is not None and self._tomb_bcast is None:
+            self._tomb_bcast = sc.broadcast(self._tombstones)
+        b_tomb = self._tomb_bcast
+        taat_cap = self.taat_cap
+
+        def _shard_many(seg_pdf: pd.DataFrame) -> pd.DataFrame:
+            rows = seg_pdf.to_dict("records")
+            by_term: dict[str, list[dict]] = {}
+            for r in rows:
+                by_term.setdefault(r["term"], []).append(r)
+            banned = b_tomb.value if b_tomb is not None else None
+            names, docs_out, scores = [], [], []
+            for name, ts in b_qterms.value.items():
+                qrows = [r for t in ts for r in by_term.get(t, [])]
+                if not qrows:
+                    continue
+                if sum(int(r["n_postings"]) for r in qrows) <= taat_cap:
+                    top = taat_top_k(qrows, b_idfs.value, avgdl, k,
+                                     round_dp, None, banned)
+                else:
+                    its = [PostingIterator(r, b_idfs.value[r["term"]],
+                                           avgdl) for r in qrows]
+                    top = wand_top_k(its, k, round_dp, None, banned)
+                for doc, sco in top:
+                    names.append(name)
+                    docs_out.append(doc)
+                    scores.append(sco)
+            return pd.DataFrame({"query": names, "doc_id": docs_out,
+                                 "score": scores})
+
+        per_shard = seg.groupBy("shard").applyInPandas(
+            _shard_many, schema=out_schema)
+        w = Window.partitionBy("query").orderBy(
+            F.round("score", round_dp).desc(), F.col("doc_id").asc())
+        return (per_shard.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= k).drop("rn")
+                .orderBy("query", F.round("score", round_dp).desc(),
+                         F.col("doc_id").asc()))
+
     def _distributed(self, seg: DataFrame, idfs: dict[str, float],
                      avgdl: float, k: int, round_dp: int,
                      filters: dict[str, str] | None) -> DataFrame:
