@@ -131,6 +131,12 @@ def main() -> None:
     t0 = time.time()
     searcher.search(BENCH_QUERIES[0][1], 10, mode="distributed").collect()
     timings["q_distributed_df"] = round(time.time() - t0, 4)
+    # batch serving: ALL bench queries in ONE distributed job (search_many)
+    # — contrast with q_distributed_df × len(BENCH_QUERIES)
+    t0 = time.time()
+    searcher.search_many({name: q for name, q, _ in BENCH_QUERIES},
+                         k=10).collect()
+    timings["q_batch_all"] = round(time.time() - t0, 4)
     # distributed + keyword filter (executor-side cogroup path)
     t0 = time.time()
     searcher.search("data value", 10, filters={"lang": "en"},
