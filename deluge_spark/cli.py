@@ -93,6 +93,14 @@ def main(argv: list[str] | None = None) -> int:
     um.add_argument("--drop", action="append", default=[],
                     help="stored-field column to drop, repeatable")
 
+    apd = sub.add_parser("append",
+                         help="add docs to a built index incrementally "
+                              "(own segment batch; no rebuild, existing "
+                              "segments untouched)")
+    apd.add_argument("--index", required=True)
+    apd.add_argument("--corpus", required=True,
+                     help="parquet dir of new docs (same columns as build)")
+
     dl = sub.add_parser("delete",
                         help="tombstone docs (ES delete-by-query analog); "
                              "results exclude them immediately, stats "
@@ -193,6 +201,11 @@ def main(argv: list[str] | None = None) -> int:
             add[name] = expr
         print(json.dumps(update_stored_fields(spark, args.index,
                                               add=add, drop=args.drop)))
+    elif args.cmd == "append":
+        from deluge_spark.plans.admin import append_docs
+
+        print(json.dumps(append_docs(
+            spark, args.index, spark.read.parquet(args.corpus))))
     elif args.cmd == "delete":
         from deluge_spark.plans.admin import delete_docs
 

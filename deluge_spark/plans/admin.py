@@ -236,6 +236,118 @@ def delete_docs(spark: SparkSession, index_dir: str,
     return {"deleted": n_deleted, "total_tombstoned": total}
 
 
+def append_docs(spark: SparkSession, index_dir: str,
+                new_corpus: DataFrame) -> dict:
+    """Incrementally add documents to a BUILT index — no rebuild, no touch
+    of existing segments (the batch analog of the streaming delta path;
+    an ES user's ``_bulk`` onto an existing index).
+
+    New docs get dense doc_ids continuing above the current ``n_docs``
+    (ids are engine-owned: any ``doc_id`` column on ``new_corpus`` is
+    dropped and re-keyed in natural-key order), are tokenized+encoded in
+    one pass (the same map-side-partials stage as the build), and land in
+    their OWN segment batch dir — every search path already sums a term's
+    postings across segment batches, and ``compact_segments`` squashes
+    batches later (Lucene's add-then-merge lifecycle). df/avgdl/n_docs
+    refresh to cover the union. Cost: O(new docs) tokenize + one stats
+    pass; existing segment bytes are never read or rewritten."""
+    from deluge_spark.index.build import (
+        _merge_partials,
+        _tokenize_encode_partials,
+    )
+    from deluge_spark.operators.doc_ids import (
+        assign_doc_ids,
+        unpersist_assigned,
+    )
+
+    stats = read_global_stats(index_dir)
+    num_shards = int(stats["num_shards"])
+    mode = stats.get("tokenizer_mode", "code")
+    man = Manifest(index_dir)
+    n_prior = sum(1 for e in man.entries()
+                  if e["unit"].startswith("append_"))
+    unit = f"append_{n_prior}"
+
+    # id offset = max existing doc_id + 1 (NOT n_docs: n_docs counts only
+    # docs with postings, while empty docs still own ids in the docs table
+    # — offsetting by n_docs could collide with a live id)
+    docs_path = os.path.join(index_dir, "docs")
+    hi = spark.read.parquet(docs_path).agg(
+        F.max("doc_id").alias("hi")).collect()[0]["hi"]
+    base_id = int(hi) + 1 if hi is not None else 0
+
+    if "doc_id" in new_corpus.columns:
+        new_corpus = new_corpus.drop("doc_id")
+    assigned, n_new = assign_doc_ids(new_corpus, return_count=True)
+    if n_new == 0:
+        unpersist_assigned(assigned)
+        return {"appended": 0, "n_docs": int(stats["n_docs"])}
+    # shift the dense 0..M-1 ids above the existing corpus — monotone, so
+    # the range-disjoint partitioning (which the concat merge relies on)
+    # is preserved
+    shifted = assigned.withColumn(
+        "doc_id", (F.col("doc_id") + F.lit(base_id)).cast("long"))
+
+    try:
+        # docs table: same projection as the build, append-only
+        base_cols = [c for c in ("repo", "path", "commit", "lang")
+                     if c in shifted.columns]
+        has_content = "content" in spark.read.parquet(docs_path).columns
+        keep = ["doc_id", *base_cols,
+                F.sha2(F.col("content"), 256).alias("content_sha256"),
+                F.pmod(F.col("doc_id"),
+                       F.lit(num_shards)).cast("int").alias("shard")]
+        if has_content:
+            keep.append("content")
+        shifted.select(*keep).write.mode("append").parquet(docs_path)
+
+        # one tokenize+encode pass → own partials group → own segment batch
+        partials = _tokenize_encode_partials(shifted, "content", mode,
+                                             num_shards)
+        pdir = os.path.join(index_dir, "partials", f"group={unit}")
+        partials.write.mode("overwrite").partitionBy("shard").parquet(pdir)
+        p_all = spark.read.option(
+            "basePath", os.path.join(index_dir, "partials")).parquet(pdir)
+
+        (p_all.filter(F.col("term").isNull())
+         .select(F.col("first_doc").alias("doc_id"),
+                 F.col("df_p").cast("long").alias("dl"))
+         .write.mode("append").parquet(
+             os.path.join(index_dir, "docs_meta")))
+
+        seg = _merge_partials(p_all.filter(F.col("term").isNotNull()))
+        seg_batch = f"batch={unit}"
+        seg.write.mode("overwrite").partitionBy("shard").parquet(
+            os.path.join(index_dir, "segments", seg_batch))
+    finally:
+        unpersist_assigned(assigned)
+
+    # refresh stats over the union (terms table + global.json + batch list)
+    stats_dir = os.path.join(index_dir, "stats")
+    gpath = os.path.join(stats_dir, "global.json")
+    with open(gpath) as f:
+        glob = json.load(f)
+    batches = list(glob.get("segment_batches", []))
+    if seg_batch not in batches:
+        batches.append(seg_batch)
+    seg_all = read_segments(spark, index_dir, batches=batches)
+    terms = seg_all.groupBy("term").agg(F.sum("df_local").alias("df"),
+                                        F.sum("cf_local").alias("cf"))
+    terms.write.mode("overwrite").parquet(os.path.join(stats_dir, "terms"))
+    dl_df = spark.read.parquet(os.path.join(index_dir, "docs_meta"))
+    row = dl_df.agg(F.count(F.lit(1)).alias("n"),
+                    F.avg("dl").alias("avgdl")).collect()[0]
+    total = int(seg_all.agg(F.sum("n_postings")).collect()[0][0] or 0)
+    glob.update(n_docs=int(row["n"] or 0),
+                avgdl=float(row["avgdl"] or 0.0),
+                total_postings=total, segment_batches=batches)
+    with open(gpath, "w") as f:
+        json.dump(glob, f)
+    man.commit(unit, appended=n_new, n_docs=glob["n_docs"],
+               segment_batch=seg_batch)
+    return {"appended": n_new, "n_docs": glob["n_docs"]}
+
+
 def purge_deleted(spark: SparkSession, index_dir: str) -> dict:
     """Physically remove tombstoned docs: rewrite segments/docs/docs_meta/
     stats without them (one decode→filter→re-encode pass over the index —

@@ -103,6 +103,16 @@ def test_cli_end_to_end(spark, corpus_df, tmp_path_factory):
     summ2 = run("summary", "--index", idx)[-1]
     assert summ2["n_docs"] == summ["n_docs"] - 1
     assert summ2["tombstoned"] == 0
+    # incremental append through the CLI: new docs searchable, no rebuild
+    more = str(tmp_path_factory.mktemp("cli_more"))
+    (corpus_df.limit(140).exceptAll(corpus_df.limit(120))
+     .withColumn("content", F.concat(F.col("content"),
+                                     F.lit(" appendmarker")))
+     .write.mode("overwrite").parquet(more))
+    app = run("append", "--index", idx, "--corpus", more)[-1]
+    assert app["appended"] == 20
+    assert len(run("search", "--index", idx, "--query", "appendmarker",
+                   "-k", "25")) == 20
 
 
 def test_cli_ingest_raw_jsonl(tmp_path_factory):
