@@ -56,6 +56,22 @@ def idf(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
+def _score_shard_rows(rows: list[dict], idfs: dict[str, float],
+                      avgdl: float, k: int, round_dp: int,
+                      allowed: np.ndarray | None,
+                      banned: np.ndarray | None,
+                      taat_cap: int) -> list[tuple[int, float]]:
+    """One shard's segment rows → local top-k. THE per-shard cost-based
+    TAAT/WAND pick (matched postings ≤ taat_cap → vectorized exhaustive,
+    else block-max DAAT) shared by the single-query distributed path and
+    the batch path — same ranking either way. (The coordinator makes the
+    same pick query-globally in ``search_local``.)"""
+    if sum(int(r["n_postings"]) for r in rows) <= taat_cap:
+        return taat_top_k(rows, idfs, avgdl, k, round_dp, allowed, banned)
+    its = [PostingIterator(r, idfs[r["term"]], avgdl) for r in rows]
+    return wand_top_k(its, k, round_dp, allowed, banned)
+
+
 class Searcher:
     #: cost-based TAAT/WAND switch point (matched postings): below it the
     #: vectorized exhaustive scorer beats the DAAT loop. ONE source of
@@ -133,6 +149,15 @@ class Searcher:
             return None
         return self.spark.createDataFrame(
             pd.DataFrame({"doc_id": self._tombstones}))
+
+    def _tomb_broadcast(self):
+        """Broadcast the (open-time, query-invariant) tombstone array once
+        and reuse it for every distributed/batch query; None when the
+        index has no tombstones."""
+        if self._tombstones is not None and self._tomb_bcast is None:
+            self._tomb_bcast = self.spark.sparkContext.broadcast(
+                self._tombstones)
+        return self._tomb_bcast
 
     def _segments(self) -> DataFrame:
         if self._seg is not None:
@@ -336,9 +361,7 @@ class Searcher:
         sc = self.spark.sparkContext
         b_idfs = sc.broadcast(idfs)
         b_qterms = sc.broadcast(qterms)
-        if self._tombstones is not None and self._tomb_bcast is None:
-            self._tomb_bcast = sc.broadcast(self._tombstones)
-        b_tomb = self._tomb_bcast
+        b_tomb = self._tomb_broadcast()
         taat_cap = self.taat_cap
 
         def _shard_many(seg_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -352,13 +375,8 @@ class Searcher:
                 qrows = [r for t in ts for r in by_term.get(t, [])]
                 if not qrows:
                     continue
-                if sum(int(r["n_postings"]) for r in qrows) <= taat_cap:
-                    top = taat_top_k(qrows, b_idfs.value, avgdl, k,
-                                     round_dp, None, banned)
-                else:
-                    its = [PostingIterator(r, b_idfs.value[r["term"]],
-                                           avgdl) for r in qrows]
-                    top = wand_top_k(its, k, round_dp, None, banned)
+                top = _score_shard_rows(qrows, b_idfs.value, avgdl, k,
+                                        round_dp, None, banned, taat_cap)
                 for doc, sco in top:
                     names.append(name)
                     docs_out.append(doc)
@@ -387,26 +405,15 @@ class Searcher:
         """
         sc = self.spark.sparkContext
         b_idfs = sc.broadcast(idfs)
-        # the tombstone set is fixed at open — broadcast once, reuse across
-        # queries (unlike b_idfs, which is genuinely per-query)
-        if self._tombstones is not None and self._tomb_bcast is None:
-            self._tomb_bcast = sc.broadcast(self._tombstones)
-        b_tomb = self._tomb_bcast
+        b_tomb = self._tomb_broadcast()
         taat_cap = self.taat_cap
 
         def _shard_wand(seg_pdf: pd.DataFrame,
                         allowed: np.ndarray | None) -> pd.DataFrame:
             rows = seg_pdf.to_dict("records")
             banned = b_tomb.value if b_tomb is not None else None
-            # cost-based pick per shard (same ranking either way): few
-            # matched postings → vectorized exhaustive beats the DAAT loop
-            if int(seg_pdf["n_postings"].sum()) <= taat_cap:
-                top = taat_top_k(rows, b_idfs.value, avgdl, k, round_dp,
-                                 allowed, banned)
-            else:
-                its = [PostingIterator(row, b_idfs.value[row["term"]], avgdl)
-                       for row in rows]
-                top = wand_top_k(its, k, round_dp, allowed, banned)
+            top = _score_shard_rows(rows, b_idfs.value, avgdl, k,
+                                    round_dp, allowed, banned, taat_cap)
             return pd.DataFrame(
                 {"doc_id": [d for d, _ in top],
                  "score": [s for _, s in top]})

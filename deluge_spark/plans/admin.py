@@ -236,22 +236,68 @@ def delete_docs(spark: SparkSession, index_dir: str,
     return {"deleted": n_deleted, "total_tombstoned": total}
 
 
+def _rollback_inflight_append(spark: SparkSession, index_dir: str,
+                              man: Manifest) -> None:
+    """Crash recovery for ``append_docs``: if a prior append committed its
+    begin marker but never its end, roll the index back to the recorded
+    ``base_id`` watermark — rewrite docs/docs_meta without ids >= base_id
+    (retired-dir swap) and drop the partial/segment dirs the dead append
+    may have left — so the retry starts from the exact pre-append state
+    instead of duplicating the new docs under fresh ids."""
+    st = man.get("append_inflight")
+    if not st or st.get("done"):
+        return
+    base_id = int(st["base_id"])
+    unit = st["append_unit"]
+    for name in ("docs", "docs_meta"):
+        live = os.path.join(index_dir, name)
+        retired = os.path.join(index_dir, f".append_retired_{name}")
+        tmp = os.path.join(index_dir, f".append_tmp_{name}")
+        if not os.path.exists(live) and os.path.exists(retired):
+            os.rename(retired, live)      # earlier rollback died mid-swap
+        for leftover in (tmp, retired):
+            if os.path.exists(leftover):
+                shutil.rmtree(leftover)
+        (spark.read.parquet(live).filter(F.col("doc_id") < base_id)
+         .write.mode("overwrite").parquet(tmp))
+        os.rename(live, retired)
+        os.rename(tmp, live)
+        shutil.rmtree(retired)
+    for d in (os.path.join(index_dir, "partials", f"group={unit}"),
+              os.path.join(index_dir, "segments", f"batch={unit}")):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    man.commit("append_inflight", done=True, rolled_back=unit,
+               base_id=base_id)
+
+
 def append_docs(spark: SparkSession, index_dir: str,
                 new_corpus: DataFrame) -> dict:
     """Incrementally add documents to a BUILT index — no rebuild, no touch
     of existing segments (the batch analog of the streaming delta path;
     an ES user's ``_bulk`` onto an existing index).
 
-    New docs get dense doc_ids continuing above the current ``n_docs``
+    New docs get dense doc_ids continuing above the current max doc_id
     (ids are engine-owned: any ``doc_id`` column on ``new_corpus`` is
     dropped and re-keyed in natural-key order), are tokenized+encoded in
     one pass (the same map-side-partials stage as the build), and land in
     their OWN segment batch dir — every search path already sums a term's
     postings across segment batches, and ``compact_segments`` squashes
-    batches later (Lucene's add-then-merge lifecycle). df/avgdl/n_docs
-    refresh to cover the union. Cost: O(new docs) tokenize + one stats
-    pass; existing segment bytes are never read or rewritten."""
+    batches later (Lucene's add-then-merge lifecycle). The appended docs
+    rows are projected onto the LIVE docs schema (columns evolved via
+    ``update_stored_fields`` that cannot be derived here are NULL-filled
+    and reported in the return dict — re-derive them with a follow-up
+    ``update_stored_fields`` drop+add). Stats refresh incrementally:
+    terms df/cf merge the old terms table with the new batch only, and
+    total_postings adds the new batch's count — O(vocabulary + new docs),
+    never a rescan of existing segment bytes.
+
+    Crash-safe: a begin marker (``append_inflight`` manifest unit) records
+    the id watermark before any mutation; an interrupted append is rolled
+    back to that watermark on the next call, so retries never duplicate
+    docs or inflate stats."""
     from deluge_spark.index.build import (
+        PARTIALS_SCHEMA,
         _merge_partials,
         _tokenize_encode_partials,
     )
@@ -264,16 +310,18 @@ def append_docs(spark: SparkSession, index_dir: str,
     num_shards = int(stats["num_shards"])
     mode = stats.get("tokenizer_mode", "code")
     man = Manifest(index_dir)
+    _rollback_inflight_append(spark, index_dir, man)
     n_prior = sum(1 for e in man.entries()
-                  if e["unit"].startswith("append_"))
+                  if e["unit"].startswith("append_") and
+                  e["unit"] != "append_inflight")
     unit = f"append_{n_prior}"
 
     # id offset = max existing doc_id + 1 (NOT n_docs: n_docs counts only
     # docs with postings, while empty docs still own ids in the docs table
     # — offsetting by n_docs could collide with a live id)
     docs_path = os.path.join(index_dir, "docs")
-    hi = spark.read.parquet(docs_path).agg(
-        F.max("doc_id").alias("hi")).collect()[0]["hi"]
+    live_docs = spark.read.parquet(docs_path)
+    hi = live_docs.agg(F.max("doc_id").alias("hi")).collect()[0]["hi"]
     base_id = int(hi) + 1 if hi is not None else 0
 
     if "doc_id" in new_corpus.columns:
@@ -288,17 +336,26 @@ def append_docs(spark: SparkSession, index_dir: str,
     shifted = assigned.withColumn(
         "doc_id", (F.col("doc_id") + F.lit(base_id)).cast("long"))
 
+    man.commit("append_inflight", base_id=base_id, append_unit=unit)
     try:
-        # docs table: same projection as the build, append-only
-        base_cols = [c for c in ("repo", "path", "commit", "lang")
-                     if c in shifted.columns]
-        has_content = "content" in spark.read.parquet(docs_path).columns
-        keep = ["doc_id", *base_cols,
-                F.sha2(F.col("content"), 256).alias("content_sha256"),
-                F.pmod(F.col("doc_id"),
-                       F.lit(num_shards)).cast("int").alias("shard")]
-        if has_content:
-            keep.append("content")
+        # docs table: project onto the LIVE schema so appended files never
+        # diverge from columns evolved via update_stored_fields
+        computed = {
+            "doc_id": F.col("doc_id"),
+            "content_sha256": F.sha2(F.col("content"), 256),
+            "shard": F.pmod(F.col("doc_id"),
+                            F.lit(num_shards)).cast("int"),
+        }
+        null_filled = []
+        keep = []
+        for f in live_docs.schema.fields:
+            if f.name in computed:
+                keep.append(computed[f.name].alias(f.name))
+            elif f.name in shifted.columns:
+                keep.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                null_filled.append(f.name)
+                keep.append(F.lit(None).cast(f.dataType).alias(f.name))
         shifted.select(*keep).write.mode("append").parquet(docs_path)
 
         # one tokenize+encode pass → own partials group → own segment batch
@@ -306,8 +363,12 @@ def append_docs(spark: SparkSession, index_dir: str,
                                              num_shards)
         pdir = os.path.join(index_dir, "partials", f"group={unit}")
         partials.write.mode("overwrite").partitionBy("shard").parquet(pdir)
-        p_all = spark.read.option(
-            "basePath", os.path.join(index_dir, "partials")).parquet(pdir)
+        # explicit schema: an all-empty-docs append writes no parquet
+        # files, and schema inference would throw on the bare directory
+        p_all = (spark.read.schema(PARTIALS_SCHEMA)
+                 .option("basePath",
+                         os.path.join(index_dir, "partials"))
+                 .parquet(pdir))
 
         (p_all.filter(F.col("term").isNull())
          .select(F.col("first_doc").alias("doc_id"),
@@ -315,37 +376,72 @@ def append_docs(spark: SparkSession, index_dir: str,
          .write.mode("append").parquet(
              os.path.join(index_dir, "docs_meta")))
 
-        seg = _merge_partials(p_all.filter(F.col("term").isNotNull()))
-        seg_batch = f"batch={unit}"
-        seg.write.mode("overwrite").partitionBy("shard").parquet(
-            os.path.join(index_dir, "segments", seg_batch))
-    finally:
+        new_postings = 0
+        seg_batch = None
+        term_rows = p_all.filter(F.col("term").isNotNull())
+        if term_rows.limit(1).count():
+            seg = _merge_partials(term_rows)
+            seg_batch = f"batch={unit}"
+            seg_dir = os.path.join(index_dir, "segments", seg_batch)
+            seg.write.mode("overwrite").partitionBy("shard").parquet(
+                seg_dir)
+            seg_new = spark.read.option(
+                "basePath",
+                os.path.join(index_dir, "segments")).parquet(seg_dir)
+            new_postings = int(seg_new.agg(
+                F.sum("n_postings")).collect()[0][0] or 0)
+    except BaseException:
         unpersist_assigned(assigned)
+        raise   # inflight marker stays; next append rolls back
+    unpersist_assigned(assigned)
 
-    # refresh stats over the union (terms table + global.json + batch list)
+    # ---- incremental stats refresh: old terms table ⊕ new batch only ----
     stats_dir = os.path.join(index_dir, "stats")
     gpath = os.path.join(stats_dir, "global.json")
     with open(gpath) as f:
         glob = json.load(f)
-    batches = list(glob.get("segment_batches", []))
-    if seg_batch not in batches:
+    batches = glob.get("segment_batches")
+    if batches is None:
+        # legacy global.json without the key: same glob fallback as
+        # read_segments — NOT [] (which would repoint the index at only
+        # the new batch and lose every existing segment)
+        batches = sorted(
+            d for d in os.listdir(os.path.join(index_dir, "segments"))
+            if d.startswith("batch="))
+    batches = list(batches)
+    if seg_batch is not None and seg_batch not in batches:
         batches.append(seg_batch)
-    seg_all = read_segments(spark, index_dir, batches=batches)
-    terms = seg_all.groupBy("term").agg(F.sum("df_local").alias("df"),
-                                        F.sum("cf_local").alias("cf"))
-    terms.write.mode("overwrite").parquet(os.path.join(stats_dir, "terms"))
+        terms_path = os.path.join(stats_dir, "terms")
+        new_terms = (term_rows.groupBy("term")
+                     .agg(F.sum("df_p").alias("df"),
+                          F.sum("cf_p").alias("cf")))
+        merged = (spark.read.parquet(terms_path).unionByName(new_terms)
+                  .groupBy("term").agg(F.sum("df").alias("df"),
+                                       F.sum("cf").alias("cf")))
+        tmp_terms = os.path.join(stats_dir, ".terms_append_tmp")
+        merged.write.mode("overwrite").parquet(tmp_terms)
+        retired_terms = os.path.join(stats_dir, ".terms_retired")
+        if os.path.exists(retired_terms):
+            shutil.rmtree(retired_terms)
+        os.rename(terms_path, retired_terms)
+        os.rename(tmp_terms, terms_path)
+        shutil.rmtree(retired_terms)
     dl_df = spark.read.parquet(os.path.join(index_dir, "docs_meta"))
     row = dl_df.agg(F.count(F.lit(1)).alias("n"),
                     F.avg("dl").alias("avgdl")).collect()[0]
-    total = int(seg_all.agg(F.sum("n_postings")).collect()[0][0] or 0)
     glob.update(n_docs=int(row["n"] or 0),
                 avgdl=float(row["avgdl"] or 0.0),
-                total_postings=total, segment_batches=batches)
+                total_postings=int(glob.get("total_postings", 0))
+                + new_postings,
+                segment_batches=batches)
     with open(gpath, "w") as f:
         json.dump(glob, f)
     man.commit(unit, appended=n_new, n_docs=glob["n_docs"],
-               segment_batch=seg_batch)
-    return {"appended": n_new, "n_docs": glob["n_docs"]}
+               segment_batch=seg_batch, null_filled=null_filled)
+    man.commit("append_inflight", done=True, append_unit=unit,
+               base_id=base_id)
+    return {"appended": n_new, "n_docs": glob["n_docs"],
+            "null_filled": null_filled}
 
 
 def purge_deleted(spark: SparkSession, index_dir: str) -> dict:

@@ -80,3 +80,110 @@ def test_append_empty_is_noop(spark, corpus_df, split_corpus,
     n0 = Searcher(spark, d).stats["n_docs"]
     out = append_docs(spark, d, second.limit(0))
     assert out == {"appended": 0, "n_docs": n0}
+
+
+def test_append_crash_rollback_then_retry(spark, corpus_df, split_corpus,
+                                          tmp_path_factory, monkeypatch):
+    """Review finding: a mid-append crash (docs/docs_meta already appended)
+    must not duplicate docs on retry. The inflight marker rolls the index
+    back to the id watermark, and the retried append converges to the
+    clean result."""
+    import deluge_spark.plans.admin as admin
+
+    first, second, _ = split_corpus
+    cfgf = lambda: BuildConfig(num_shards=4, tokenize_groups=2,  # noqa: E731
+                               shard_batches=1)
+    full_dir = str(tmp_path_factory.mktemp("crash_full"))
+    build_index(spark, corpus_df, full_dir, cfgf())
+    d = str(tmp_path_factory.mktemp("crash_inc"))
+    build_index(spark, first, d, cfgf())
+
+    from deluge_spark.index import build as buildmod
+    real_merge = buildmod._merge_partials
+
+    def boom(*a, **k):
+        raise RuntimeError("injected append crash")
+
+    monkeypatch.setattr(buildmod, "_merge_partials", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        admin.append_docs(spark, d, second)
+    monkeypatch.setattr(buildmod, "_merge_partials", real_merge)
+
+    out = admin.append_docs(spark, d, second)   # retry converges
+    s_full, s_inc = Searcher(spark, full_dir), Searcher(spark, d)
+    assert out["n_docs"] == s_full.stats["n_docs"]
+    assert s_inc._df_map == s_full._df_map
+    for q in QUERIES:
+        assert s_inc.search_local(q, 10) == s_full.search_local(q, 10), q
+    # docs table holds exactly one copy of every doc
+    docs = spark.read.parquet(f"{d}/docs")
+    assert docs.count() == docs.select("doc_id").distinct().count()
+    assert docs.count() == spark.read.parquet(f"{full_dir}/docs").count()
+
+
+def test_append_all_empty_docs_and_legacy_batch_list(
+        spark, corpus_df, split_corpus, tmp_path_factory):
+    """Review findings: (a) an append whose docs tokenize to zero terms
+    must not crash on schema inference or corrupt stats; (b) a legacy
+    global.json without segment_batches must fall back to the dir glob,
+    not repoint the index at only the new batch."""
+    import json as _json
+
+    from deluge_spark.plans.admin import append_docs
+
+    first, _, _ = split_corpus
+    d = str(tmp_path_factory.mktemp("edge_app"))
+    build_index(spark, first, d,
+                BuildConfig(num_shards=2, tokenize_groups=1,
+                            shard_batches=1))
+    s0 = Searcher(spark, d)
+    base = s0.search_local(QUERIES[0], 10)
+    n0 = s0.stats["n_docs"]
+
+    # (b) strip the authoritative batch list first — the glob fallback
+    # must keep the existing segments visible through the append
+    gpath = f"{d}/stats/global.json"
+    with open(gpath) as f:
+        glob = _json.load(f)
+    del glob["segment_batches"]
+    with open(gpath, "w") as f:
+        _json.dump(glob, f)
+
+    # (a) punctuation-only docs: zero tokens
+    empty = spark.createDataFrame(
+        [(f"r{i}", f"p{i}", "c", "en", "!!! ??? ...") for i in range(5)],
+        "repo string, path string, commit string, lang string, "
+        "content string")
+    out = append_docs(spark, d, empty)
+    assert out["appended"] == 5
+
+    s1 = Searcher(spark, d)
+    assert s1.stats["n_docs"] == n0          # no postings → n_docs holds
+    assert s1.search_local(QUERIES[0], 10) == base  # old corpus intact
+    with open(gpath) as f:
+        assert _json.load(f)["segment_batches"]  # restored, non-empty
+
+
+def test_append_aligns_to_evolved_docs_schema(spark, corpus_df,
+                                              split_corpus,
+                                              tmp_path_factory):
+    """Review finding: appending after update_stored_fields must keep the
+    docs table schema uniform — evolved columns are NULL-filled on the
+    appended rows (and reported), never silently absent."""
+    from deluge_spark.plans.admin import append_docs, update_stored_fields
+
+    first, second, _ = split_corpus
+    d = str(tmp_path_factory.mktemp("schema_app"))
+    build_index(spark, first, d,
+                BuildConfig(num_shards=2, tokenize_groups=1,
+                            shard_batches=1))
+    update_stored_fields(spark, d, add={"n_chars": "length(content)"})
+
+    out = append_docs(spark, d, second)
+    assert out["null_filled"] == ["n_chars"]
+    docs = spark.read.parquet(f"{d}/docs")
+    assert "n_chars" in docs.columns
+    # filters over the evolved column still execute against appended rows
+    s = Searcher(spark, d)
+    s.search(QUERIES[0], 5, filters={"n_chars": "40"},
+             mode="distributed").collect()
