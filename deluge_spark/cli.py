@@ -101,6 +101,14 @@ def main(argv: list[str] | None = None) -> int:
     apd.add_argument("--corpus", required=True,
                      help="parquet dir of new docs (same columns as build)")
 
+    up = sub.add_parser("upsert",
+                        help="re-ingest changed docs: tombstone matching "
+                             "natural keys, append the new versions")
+    up.add_argument("--index", required=True)
+    up.add_argument("--corpus", required=True)
+    up.add_argument("--key-cols", default="repo,path",
+                    help="comma-separated natural-key columns")
+
     dl = sub.add_parser("delete",
                         help="tombstone docs (ES delete-by-query analog); "
                              "results exclude them immediately, stats "
@@ -206,6 +214,13 @@ def main(argv: list[str] | None = None) -> int:
 
         print(json.dumps(append_docs(
             spark, args.index, spark.read.parquet(args.corpus))))
+    elif args.cmd == "upsert":
+        from deluge_spark.plans.admin import upsert_docs
+
+        kc = tuple(c.strip() for c in args.key_cols.split(",") if c.strip())
+        print(json.dumps(upsert_docs(
+            spark, args.index, spark.read.parquet(args.corpus),
+            key_cols=kc)))
     elif args.cmd == "delete":
         from deluge_spark.plans.admin import delete_docs
 

@@ -150,6 +150,33 @@ class Searcher:
         return self.spark.createDataFrame(
             pd.DataFrame({"doc_id": self._tombstones}))
 
+    def refresh(self) -> "Searcher":
+        """ES refresh analog: re-read stats, the term dictionary, the
+        tombstone set, and the segment cache so index changes made since
+        open (append/delete/purge/update-mapping) become visible on THIS
+        handle — the alternative to constructing a new Searcher. Returns
+        self for chaining."""
+        from deluge_spark.index.build import read_global_stats, read_segments
+
+        self.stats = read_global_stats(self.index_dir)
+        self.mode = self.stats.get("tokenizer_mode", self.mode)
+        if self._df_map is not None:
+            self._df_map = {
+                r["term"]: int(r["df"])
+                for r in self.spark.read.parquet(self._terms_path)
+                .select("term", "df").collect()
+            }
+        if self._seg is not None:
+            self._seg.unpersist()
+            self._seg = read_segments(self.spark, self.index_dir).cache()
+            self._seg.count()
+        self._term_cache.clear()
+        if self._tomb_bcast is not None:
+            self._tomb_bcast.unpersist()
+            self._tomb_bcast = None
+        self._tombstones = self._load_tombstones()
+        return self
+
     def _tomb_broadcast(self):
         """Broadcast the (open-time, query-invariant) tombstone array once
         and reuse it for every distributed/batch query; None when the

@@ -192,30 +192,35 @@ def update_stored_fields(spark: SparkSession, index_dir: str,
 
 def delete_docs(spark: SparkSession, index_dir: str,
                 where: str | None = None,
-                doc_ids: list[int] | None = None) -> dict:
+                doc_ids: list[int] | None = None,
+                ids_df: DataFrame | None = None) -> dict:
     """Delete documents from a built index — tombstones, not a rebuild
     (ES delete/delete-by-query semantics; the reference's users have this
     through ES while deluge itself is ingest-only).
 
     ``where`` is a SQL predicate over the ``docs`` stored fields (e.g.
-    ``"lang = 'go'"``); ``doc_ids`` an explicit id list. Either or both.
-    Matched doc_ids append to ``index_dir/tombstones`` (parquet).
-    Tombstoned docs disappear from every search path immediately on the
-    next ``Searcher`` open; df/avgdl stay as-built until ``purge_deleted``
-    / ``reindex`` (Lucene semantics: survivor scores unchanged by a
-    delete). Each call commits a ``delete_<n>`` manifest unit."""
-    if where is None and doc_ids is None:
-        raise ValueError("pass where= and/or doc_ids=")
+    ``"lang = 'go'"``); ``doc_ids`` an explicit id list; ``ids_df`` a
+    DataFrame(doc_id) for distributed-scale selections (never collected
+    to the driver). Any combination. Matched doc_ids append to
+    ``index_dir/tombstones`` (parquet). Tombstoned docs disappear from
+    every search path immediately on the next ``Searcher`` open; df/avgdl
+    stay as-built until ``purge_deleted`` / ``reindex`` (Lucene
+    semantics: survivor scores unchanged by a delete). Each call commits
+    a ``delete_<n>`` manifest unit."""
+    if where is None and doc_ids is None and ids_df is None:
+        raise ValueError("pass where=, doc_ids= and/or ids_df=")
     docs = spark.read.parquet(os.path.join(index_dir, "docs"))
     matched = None
     if where is not None:
         matched = docs.filter(F.expr(where)).select("doc_id")
     if doc_ids is not None:
-        explicit = spark.createDataFrame(
+        ex = spark.createDataFrame(
             [(int(i),) for i in doc_ids], "doc_id long")
+        ids_df = ex if ids_df is None else ids_df.select("doc_id").union(ex)
+    if ids_df is not None:
         # resolve through the docs table: nonexistent ids are not counted
-        explicit = docs.select("doc_id").join(explicit, "doc_id",
-                                              "left_semi")
+        explicit = docs.select("doc_id").join(
+            ids_df.select("doc_id"), "doc_id", "left_semi")
         matched = explicit if matched is None else matched.union(explicit)
     matched = matched.distinct()
     prior = read_tombstones(spark, index_dir)
@@ -442,6 +447,33 @@ def append_docs(spark: SparkSession, index_dir: str,
                base_id=base_id)
     return {"appended": n_new, "n_docs": glob["n_docs"],
             "null_filled": null_filled}
+
+
+def upsert_docs(spark: SparkSession, index_dir: str,
+                new_corpus: DataFrame,
+                key_cols: tuple[str, ...] = ("repo", "path")) -> dict:
+    """Document UPDATE by re-ingest — the reference's actual change
+    workflow (point the ingester at changed files again; ES overwrites by
+    ``_id``): every live doc whose ``key_cols`` tuple appears in
+    ``new_corpus`` is tombstoned, then ``new_corpus`` is appended as the
+    new version. Old versions stop matching immediately (tombstones);
+    their bytes and stats are reclaimed at ``purge_deleted`` /
+    ``compact``-time, exactly like an ES update awaiting segment merge.
+    Composes the two crash-safe primitives — an interrupted upsert is an
+    interrupted delete (idempotent re-run) or an interrupted append
+    (rolled back on retry)."""
+    docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+    missing = [c for c in key_cols if c not in docs.columns
+               or c not in new_corpus.columns]
+    if missing:
+        raise ValueError(
+            f"key columns absent from docs table or new corpus: {missing}")
+    keys = new_corpus.select(*key_cols).distinct()
+    ids = (docs.join(keys, on=list(key_cols), how="left_semi")
+           .select("doc_id"))
+    replaced = delete_docs(spark, index_dir, ids_df=ids)["deleted"]
+    out = append_docs(spark, index_dir, new_corpus)
+    return {"replaced": replaced, **out}
 
 
 def purge_deleted(spark: SparkSession, index_dir: str) -> dict:
