@@ -102,3 +102,66 @@ def test_upsert_cli(spark, small_known_index, tmp_path_factory):
     s = Searcher(spark, d)
     assert len(s.search_local("climarker", 5)) == 1
     assert s.search_local("oldmarker3", 5) == []
+
+
+def test_full_lifecycle_chain(spark, tmp_path_factory):
+    """Capstone: every lifecycle op in one chain on one index — build →
+    append → upsert → update-mapping → delete → purge → compact → reindex
+    — with invariants checked at each step. Guards cross-feature
+    interactions none of the per-op tests exercise together."""
+    from deluge_spark.plans.admin import (
+        append_docs,
+        compact_segments,
+        delete_docs,
+        index_summary,
+        purge_deleted,
+        reindex,
+        update_stored_fields,
+        upsert_docs,
+    )
+
+    mk = lambda i, v: (f"org/r{i}", f"p{i}.py", f"c{v}", "python",  # noqa: E731
+                       f"gamma corpus text v{v}marker doc{i}")
+    schema = ("repo string, path string, commit string, lang string, "
+              "content string")
+    d = str(tmp_path_factory.mktemp("lifecycle"))
+    build_index(spark, spark.createDataFrame([mk(i, 0) for i in range(20)],
+                                             schema),
+                d, BuildConfig(num_shards=2, tokenize_groups=1,
+                               shard_batches=1))
+
+    out = append_docs(spark, d, spark.createDataFrame(
+        [mk(i, 0) for i in range(20, 30)], schema))
+    assert out["n_docs"] == 30
+
+    out = upsert_docs(spark, d, spark.createDataFrame(
+        [mk(3, 1), mk(25, 1)], schema))          # one per segment batch
+    assert out["replaced"] == 2
+
+    update_stored_fields(spark, d, add={"n_chars": "length(content)"})
+
+    assert delete_docs(spark, d, where="path = 'p10.py'")["deleted"] == 1
+
+    s = Searcher(spark, d)
+    assert len(s.search_local("v1marker", 10)) == 2
+    assert s.search_local("doc10", 10) == []
+    assert len(s.search_local("gamma", 50)) == 30 - 1  # 29 live docs
+
+    purged = purge_deleted(spark, d)
+    assert purged["purged"] == 3                 # 2 upsert-replaced + 1
+    assert purged["n_docs"] == 29
+
+    compact_segments(spark, d, files_per_shard=1)
+    s2 = Searcher(spark, d)
+    assert len(s2.search_local("gamma", 50)) == 29
+    assert len(s2.search_local("v1marker", 10)) == 2
+    # evolved column survived purge?  NOTE: purge rewrites docs via
+    # reindex, which projects the live docs schema — n_chars must persist
+    docs_cols = spark.read.parquet(f"{d}/docs").columns
+    assert "n_chars" in docs_cols
+
+    out_dir = str(tmp_path_factory.mktemp("lifecycle_re"))
+    reindex(spark, d, out_dir, BuildConfig(num_shards=3))
+    s3 = Searcher(spark, out_dir)
+    assert len(s3.search_local("gamma", 50)) == 29
+    assert index_summary(spark, out_dir)["n_docs"] == 29
