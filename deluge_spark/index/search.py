@@ -156,8 +156,6 @@ class Searcher:
         open (append/delete/purge/update-mapping) become visible on THIS
         handle — the alternative to constructing a new Searcher. Returns
         self for chaining."""
-        from deluge_spark.index.build import read_global_stats, read_segments
-
         self.stats = read_global_stats(self.index_dir)
         self.mode = self.stats.get("tokenizer_mode", self.mode)
         if self._df_map is not None:

@@ -462,12 +462,26 @@ def upsert_docs(spark: SparkSession, index_dir: str,
     Composes the two crash-safe primitives — an interrupted upsert is an
     interrupted delete (idempotent re-run) or an interrupted append
     (rolled back on retry)."""
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    # roll back any append interrupted mid-flight BEFORE key-matching:
+    # half-appended rows would otherwise be selected for deletion here,
+    # tombstoning the very ids the rolled-back re-append is about to
+    # reuse — permanently hiding the new versions
+    _rollback_inflight_append(spark, index_dir, Manifest(index_dir))
     docs = spark.read.parquet(os.path.join(index_dir, "docs"))
     missing = [c for c in key_cols if c not in docs.columns
                or c not in new_corpus.columns]
     if missing:
         raise ValueError(
             f"key columns absent from docs table or new corpus: {missing}")
+    n_dups = (new_corpus.groupBy(*key_cols).count()
+              .filter(F.col("count") > 1).count())
+    if n_dups:
+        raise ValueError(
+            f"new_corpus has {n_dups} duplicate {key_cols} keys — ES "
+            f"overwrite-by-_id semantics need one version per key; dedupe "
+            f"upstream (keep the intended version) before upserting")
     keys = new_corpus.select(*key_cols).distinct()
     ids = (docs.join(keys, on=list(key_cols), how="left_semi")
            .select("doc_id"))

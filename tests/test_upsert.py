@@ -165,3 +165,56 @@ def test_full_lifecycle_chain(spark, tmp_path_factory):
     s3 = Searcher(spark, out_dir)
     assert len(s3.search_local("gamma", 50)) == 29
     assert index_summary(spark, out_dir)["n_docs"] == 29
+
+
+def test_upsert_retry_after_mid_append_crash(spark, small_known_index,
+                                             monkeypatch):
+    """Review finding: a crashed upsert (append died after docs rows were
+    written) must NOT tombstone the ids the rolled-back re-append reuses —
+    the retry rolls back FIRST, then key-matches. The upserted docs stay
+    visible and survive purge."""
+    from deluge_spark.index import build as buildmod
+    from deluge_spark.plans.admin import purge_deleted
+
+    d, rows = small_known_index
+    upd = spark.createDataFrame(
+        [(rows[5][0], rows[5][1], "c1", "python",
+          "alpha shared text crashver")],
+        "repo string, path string, commit string, lang string, "
+        "content string")
+
+    real_merge = buildmod._merge_partials
+
+    def boom(*a, **k):
+        raise RuntimeError("injected upsert crash")
+
+    monkeypatch.setattr(buildmod, "_merge_partials", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        upsert_docs(spark, d, upd)
+    monkeypatch.setattr(buildmod, "_merge_partials", real_merge)
+
+    out = upsert_docs(spark, d, upd)            # retry converges
+    # the first attempt's tombstone already committed (idempotent delete),
+    # so the retry legitimately reports replaced=0; what matters is the
+    # re-append lands and its ids are NOT tombstoned
+    assert out["appended"] == 1 and out["replaced"] in (0, 1)
+    s = Searcher(spark, d)
+    assert len(s.search_local("crashver", 5)) == 1
+    assert s.search_local("oldmarker5", 5) == []
+    purge_deleted(spark, d)
+    s2 = Searcher(spark, d)
+    assert len(s2.search_local("crashver", 5)) == 1   # new version LIVE
+    assert len(s2.search_local("shared", 50)) == 30
+
+
+def test_upsert_rejects_bad_inputs(spark, small_known_index):
+    d, rows = small_known_index
+    schema = ("repo string, path string, commit string, lang string, "
+              "content string")
+    dup = spark.createDataFrame(
+        [(rows[2][0], rows[2][1], "c1", "python", "dup one"),
+         (rows[2][0], rows[2][1], "c2", "python", "dup two")], schema)
+    with pytest.raises(ValueError, match="duplicate"):
+        upsert_docs(spark, d, dup)
+    with pytest.raises(ValueError, match="non-empty"):
+        upsert_docs(spark, d, dup.limit(1), key_cols=())
