@@ -108,6 +108,13 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 
     ``max_shingle_df`` drops shingles present in more than that many docs
     before pairing (stopword-shingle blowup guard at scale; None = exact).
+
+    EAGER + PERSISTED result: the returned DataFrame is materialized
+    inside this call (the corpus-sized shingle intermediate is cached for
+    plan reuse, then released — it must not stay pinned for the session's
+    lifetime), so the call itself pays the full computation and the small
+    result table stays persisted. ``.unpersist()`` it when done; don't
+    compose this into a lazy pipeline expecting deferred execution.
     """
     handle = _shingles(df, id_col, text_col, n, mode).cache()
     sh = handle
@@ -320,6 +327,11 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
     exact popcount filter removes; completeness is never lost.
 
     Default C = d+3 (d=3 → C=6, 20 keys/doc, 32-bit effective keys).
+
+    EAGER + PERSISTED result: materialized inside this call (the
+    fingerprint table is cached for plan reuse, then released), so the
+    returned (small) pair table is persisted — ``.unpersist()`` it when
+    done; don't compose into a lazy pipeline expecting deferred execution.
     """
     from itertools import combinations
 

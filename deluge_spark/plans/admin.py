@@ -254,6 +254,26 @@ def _rollback_inflight_append(spark: SparkSession, index_dir: str,
         return
     base_id = int(st["base_id"])
     unit = st["append_unit"]
+    # stats are part of the rollback contract (round-4 ADVICE): a crash
+    # after the terms-table swap or the global.json rewrite must not let
+    # the retry merge the batch's df/cf or total_postings a second time —
+    # restore terms from the retained retired dir and global.json from the
+    # snapshot the begin marker carries.
+    stats_dir = os.path.join(index_dir, "stats")
+    terms_path = os.path.join(stats_dir, "terms")
+    retired_terms = os.path.join(stats_dir, ".terms_append_retired")
+    tmp_terms = os.path.join(stats_dir, ".terms_append_tmp")
+    if os.path.exists(retired_terms):
+        if os.path.exists(terms_path):
+            shutil.rmtree(terms_path)
+        os.rename(retired_terms, terms_path)
+    if os.path.exists(tmp_terms):
+        shutil.rmtree(tmp_terms)
+    if st.get("prev_global"):
+        gtmp = os.path.join(stats_dir, ".global.json.tmp")
+        with open(gtmp, "w") as f:
+            json.dump(st["prev_global"], f)
+        os.replace(gtmp, os.path.join(stats_dir, "global.json"))
     for name in ("docs", "docs_meta"):
         live = os.path.join(index_dir, name)
         retired = os.path.join(index_dir, f".append_retired_{name}")
@@ -341,7 +361,13 @@ def append_docs(spark: SparkSession, index_dir: str,
     shifted = assigned.withColumn(
         "doc_id", (F.col("doc_id") + F.lit(base_id)).cast("long"))
 
-    man.commit("append_inflight", base_id=base_id, append_unit=unit)
+    # the begin marker carries a snapshot of global.json so rollback can
+    # restore stats exactly (terms are restored from the retained retired
+    # dir — see _rollback_inflight_append)
+    with open(os.path.join(index_dir, "stats", "global.json")) as f:
+        prev_global = json.load(f)
+    man.commit("append_inflight", base_id=base_id, append_unit=unit,
+               prev_global=prev_global)
     try:
         # docs table: project onto the LIVE schema so appended files never
         # diverge from columns evolved via update_stored_fields
@@ -425,12 +451,13 @@ def append_docs(spark: SparkSession, index_dir: str,
                                        F.sum("cf").alias("cf")))
         tmp_terms = os.path.join(stats_dir, ".terms_append_tmp")
         merged.write.mode("overwrite").parquet(tmp_terms)
-        retired_terms = os.path.join(stats_dir, ".terms_retired")
-        if os.path.exists(retired_terms):
+        # the retired dir is RETAINED until the done-commit so an
+        # interrupted append can restore the pre-append terms table
+        retired_terms = os.path.join(stats_dir, ".terms_append_retired")
+        if os.path.exists(retired_terms):   # leftover of a done append
             shutil.rmtree(retired_terms)
         os.rename(terms_path, retired_terms)
         os.rename(tmp_terms, terms_path)
-        shutil.rmtree(retired_terms)
     dl_df = spark.read.parquet(os.path.join(index_dir, "docs_meta"))
     row = dl_df.agg(F.count(F.lit(1)).alias("n"),
                     F.avg("dl").alias("avgdl")).collect()[0]
@@ -445,6 +472,11 @@ def append_docs(spark: SparkSession, index_dir: str,
                segment_batch=seg_batch, null_filled=null_filled)
     man.commit("append_inflight", done=True, append_unit=unit,
                base_id=base_id)
+    # best-effort: the retained pre-append terms snapshot is now dead
+    # weight (a leftover is cleaned by the next append's swap)
+    retired_terms = os.path.join(stats_dir, ".terms_append_retired")
+    if os.path.exists(retired_terms):
+        shutil.rmtree(retired_terms)
     return {"appended": n_new, "n_docs": glob["n_docs"],
             "null_filled": null_filled}
 
@@ -490,39 +522,99 @@ def upsert_docs(spark: SparkSession, index_dir: str,
     return {"replaced": replaced, **out}
 
 
+#: data dirs swapped atomically-per-dir during a purge
+_PURGE_SWAP = ("docs", "docs_meta", "segments", "stats")
+
+
+def _recover_purge(spark: SparkSession, index_dir: str) -> int | None:
+    """Crash recovery for ``purge_deleted``. Two regimes, decided by the
+    swap-commit marker (written only once ``.purge_tmp`` holds the COMPLETE
+    new generation, immediately before the first rename):
+
+    - marker present → roll FORWARD: finish moving every remaining dir out
+      of ``.purge_tmp`` so docs/segments/stats all come from the same (new)
+      generation — never restore individual dirs from retired, which would
+      mix generations (deleted docs reappearing in segments while their
+      stored fields are gone). Tombstones are NOT cleared here: deletes
+      issued after the crash must survive; the caller's live-tombstone
+      filter decides what is stale.
+    - no marker → the swap never started: roll BACK (restore any dir an
+      old-version crash left in retired, drop tmp) and retry from scratch.
+
+    Returns the recovered purge's tombstone count (for lineage) or None."""
+    retired = os.path.join(index_dir, ".purge_retired")
+    tmp = os.path.join(index_dir, ".purge_tmp")
+    marker = os.path.join(index_dir, ".purge_swap_commit")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            info = json.load(f)
+        for name in _PURGE_SWAP:
+            live = os.path.join(index_dir, name)
+            new = os.path.join(tmp, name)
+            old = os.path.join(retired, name)
+            if os.path.exists(new):
+                if os.path.exists(live):
+                    os.makedirs(retired, exist_ok=True)
+                    if os.path.exists(old):
+                        shutil.rmtree(old)
+                    os.rename(live, old)
+                os.rename(new, live)
+        for d in (retired, tmp):
+            if os.path.exists(d):
+                shutil.rmtree(d)
+        man = Manifest(index_dir)
+        n_units = sum(1 for e in man.entries()
+                      if e["unit"].startswith("purge_"))
+        man.commit(f"purge_{n_units}", purged=int(info.get("n_tomb", 0)),
+                   n_docs=read_global_stats(index_dir)["n_docs"],
+                   recovered=True)
+        os.remove(marker)
+        return int(info.get("n_tomb", 0))
+    for name in _PURGE_SWAP:
+        live = os.path.join(index_dir, name)
+        old = os.path.join(retired, name)
+        if not os.path.exists(live) and os.path.exists(old):
+            os.rename(old, live)
+    for d in (retired, tmp):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    return None
+
+
 def purge_deleted(spark: SparkSession, index_dir: str) -> dict:
     """Physically remove tombstoned docs: rewrite segments/docs/docs_meta/
     stats without them (one decode→filter→re-encode pass over the index —
     no re-tokenization) and clear the tombstone set. After purge, df/avgdl/
     n_docs reflect the live corpus, so scores change exactly as an ES
-    segment merge changes them. Crash-safe via the retired-dir swap (same
-    recovery contract as ``update_stored_fields``)."""
-    SWAP = ("docs", "docs_meta", "segments", "stats")
+    segment merge changes them.
+
+    Crash-safe via a roll-forward swap: the new generation is fully built
+    in ``.purge_tmp`` first, a swap-commit marker is written, then each dir
+    is swapped; any crash after the marker is rolled FORWARD from tmp on
+    the next call (all four dirs always end up from the same generation —
+    see ``_recover_purge``), any crash before it is rolled back and
+    retried. Tombstones added between a crash and its recovery are
+    preserved and purged by the retry."""
     retired = os.path.join(index_dir, ".purge_retired")
-    # crash recovery: restore any data dir that vanished mid-swap
-    for name in SWAP:
-        live = os.path.join(index_dir, name)
-        old = os.path.join(retired, name)
-        if not os.path.exists(live) and os.path.exists(old):
-            os.rename(old, live)
-    if os.path.exists(retired):
-        shutil.rmtree(retired)
+    recovered = _recover_purge(spark, index_dir)
 
     tomb = read_tombstones(spark, index_dir)
     stats = read_global_stats(index_dir)
+    extra = {} if recovered is None else {"recovered_purged": recovered}
     if tomb is None:
-        return {"purged": 0, "n_docs": stats["n_docs"]}
-    # crash convergence: only ids that still exist in docs count. A crash
-    # after the swap but before the tombstone cleanup leaves a fully
-    # purged index with a stale tombstone set — detected here as zero live
-    # tombstones, resolved by clearing the set, NOT by re-counting the
-    # purge or rewriting the index again.
+        return {"purged": 0, "n_docs": stats["n_docs"], **extra}
+    # staleness convergence: only ids that still exist in docs count. A
+    # rolled-forward recovery (or a crash after the tombstone cleanup of a
+    # completed purge) leaves already-purged ids in the set — detected
+    # here as zero live tombstones, resolved by clearing the set. Safe
+    # ONLY because _recover_purge guarantees docs/segments/stats are one
+    # generation by the time this runs.
     docs_ids = spark.read.parquet(
         os.path.join(index_dir, "docs")).select("doc_id")
     n_tomb = tomb.join(docs_ids, "doc_id", "left_semi").count()
     if n_tomb == 0:
         shutil.rmtree(os.path.join(index_dir, "tombstones"))
-        return {"purged": 0, "n_docs": stats["n_docs"]}
+        return {"purged": 0, "n_docs": stats["n_docs"], **extra}
     cfg = BuildConfig(num_shards=int(stats["num_shards"]))
 
     tmp = os.path.join(index_dir, ".purge_tmp")
@@ -530,15 +622,21 @@ def purge_deleted(spark: SparkSession, index_dir: str) -> dict:
         shutil.rmtree(tmp)
     reindex(spark, index_dir, tmp, cfg)  # reindex drops tombstoned docs
 
-    os.makedirs(retired)
-    for name in SWAP:
+    # swap-commit point: tmp is complete; from here recovery rolls FORWARD
+    marker = os.path.join(index_dir, ".purge_swap_commit")
+    mtmp = marker + ".tmp"
+    with open(mtmp, "w") as f:
+        json.dump({"n_tomb": n_tomb}, f)
+    os.replace(mtmp, marker)
+    os.makedirs(retired, exist_ok=True)
+    for name in _PURGE_SWAP:
         os.rename(os.path.join(index_dir, name),
                   os.path.join(retired, name))
-    for name in SWAP:
         os.rename(os.path.join(tmp, name), os.path.join(index_dir, name))
     shutil.rmtree(retired)
     shutil.rmtree(tmp)  # leftover tmp manifest
     shutil.rmtree(os.path.join(index_dir, "tombstones"))
+    os.remove(marker)
 
     new_stats = read_global_stats(index_dir)
     man = Manifest(index_dir)
@@ -546,7 +644,7 @@ def purge_deleted(spark: SparkSession, index_dir: str) -> dict:
                   if e["unit"].startswith("purge_"))
     man.commit(f"purge_{n_units}", purged=n_tomb,
                n_docs=new_stats["n_docs"])
-    return {"purged": n_tomb, "n_docs": new_stats["n_docs"]}
+    return {"purged": n_tomb, "n_docs": new_stats["n_docs"], **extra}
 
 
 def reindex(spark: SparkSession, index_dir: str, out_dir: str,

@@ -187,3 +187,58 @@ def test_append_aligns_to_evolved_docs_schema(spark, corpus_df,
     s = Searcher(spark, d)
     s.search(QUERIES[0], 5, filters={"n_chars": "40"},
              mode="distributed").collect()
+
+
+def test_append_crash_after_stats_rolls_back_stats(
+        spark, corpus_df, split_corpus, tmp_path_factory, monkeypatch):
+    """Round-4 ADVICE (medium): a crash AFTER the terms-table swap and the
+    global.json rewrite — but before the append unit commits — must not
+    let the retry merge the batch's df/cf or total_postings a second time.
+    The begin marker snapshots global.json and the pre-append terms table
+    is retained; rollback restores both, so the retry converges exactly to
+    a clean single append."""
+    import json
+    import os
+
+    import deluge_spark.plans.admin as admin
+    from deluge_spark.index import manifest as manifest_mod
+
+    first, second, _ = split_corpus
+    cfgf = lambda: BuildConfig(num_shards=4, tokenize_groups=2,  # noqa: E731
+                               shard_batches=1)
+    full_dir = str(tmp_path_factory.mktemp("scrash_full"))
+    build_index(spark, corpus_df, full_dir, cfgf())
+    d = str(tmp_path_factory.mktemp("scrash_inc"))
+    build_index(spark, first, d, cfgf())
+    with open(os.path.join(d, "stats", "global.json")) as f:
+        base_postings = json.load(f)["total_postings"]
+
+    real_commit = manifest_mod.Manifest.commit
+
+    def boom(self, unit, *a, **k):
+        if unit.startswith("append_") and unit != "append_inflight":
+            raise RuntimeError("injected crash before append unit commit")
+        return real_commit(self, unit, *a, **k)
+
+    monkeypatch.setattr(manifest_mod.Manifest, "commit", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        admin.append_docs(spark, d, second)
+    monkeypatch.setattr(manifest_mod.Manifest, "commit", real_commit)
+
+    # the crash landed AFTER the stats mutation (that's the window under
+    # test): global.json already carries the new batch's postings
+    with open(os.path.join(d, "stats", "global.json")) as f:
+        crashed = json.load(f)
+    assert crashed["total_postings"] > base_postings
+
+    out = admin.append_docs(spark, d, second)   # rollback + clean retry
+    s_full, s_inc = Searcher(spark, full_dir), Searcher(spark, d)
+    assert out["n_docs"] == s_full.stats["n_docs"]
+    # df per term NOT inflated — the exact defect this guards against
+    assert s_inc._df_map == s_full._df_map
+    assert s_inc.stats["total_postings"] == s_full.stats["total_postings"]
+    assert abs(s_inc.stats["avgdl"] - s_full.stats["avgdl"]) < 1e-9
+    for q in QUERIES:
+        assert s_inc.search_local(q, 10) == s_full.search_local(q, 10), q
+    docs = spark.read.parquet(f"{d}/docs")
+    assert docs.count() == docs.select("doc_id").distinct().count()
