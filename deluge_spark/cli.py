@@ -2,6 +2,8 @@
 
   python -m deluge_spark.cli build   --corpus <parquet> --out <index_dir>
   python -m deluge_spark.cli search  --index <index_dir> --query "..." [-k N]
+  python -m deluge_spark.cli search-many --index <index_dir> \
+      --queries queries.json [-k N] [--fetch]
   python -m deluge_spark.cli summary --index <index_dir>
   python -m deluge_spark.cli reindex --index <index_dir> --out <dir> --shards N
   python -m deluge_spark.cli compact --index <index_dir> [--files-per-shard N]
@@ -70,6 +72,17 @@ def main(argv: list[str] | None = None) -> int:
                    help="col=value keyword filter, repeatable")
     s.add_argument("--fetch", action="store_true")
 
+    sm = sub.add_parser("search-many",
+                        help="evaluate a query SET in one distributed job "
+                             "(per-query filters supported)")
+    sm.add_argument("--index", required=True)
+    sm.add_argument("--queries", required=True,
+                    help="JSON file mapping name -> query string, or "
+                         "name -> {\"query\": ..., \"filters\": "
+                         "{col: val}}")
+    sm.add_argument("-k", type=int, default=10)
+    sm.add_argument("--fetch", action="store_true")
+
     m = sub.add_parser("summary")
     m.add_argument("--index", required=True)
 
@@ -100,6 +113,9 @@ def main(argv: list[str] | None = None) -> int:
     apd.add_argument("--index", required=True)
     apd.add_argument("--corpus", required=True,
                      help="parquet dir of new docs (same columns as build)")
+    apd.add_argument("--auto-compact-batches", type=int, default=16,
+                     help="squash segment batches when more than this many "
+                          "accumulate (Lucene merge policy; 0 disables)")
 
     up = sub.add_parser("upsert",
                         help="re-ingest changed docs: tombstone matching "
@@ -183,6 +199,25 @@ def main(argv: list[str] | None = None) -> int:
             for doc_id, score in searcher.search_local(args.query, args.k,
                                                        filters):
                 print(json.dumps({"doc_id": doc_id, "score": score}))
+    elif args.cmd == "search-many":
+        from deluge_spark.index.search import Searcher
+
+        with open(args.queries) as f:
+            spec = json.load(f)
+        queries, filters = {}, {}
+        for name, q in spec.items():
+            if isinstance(q, dict):
+                queries[name] = q["query"]
+                if q.get("filters"):
+                    filters[name] = dict(q["filters"])
+            else:
+                queries[name] = q
+        searcher = Searcher(spark, args.index)
+        rows = searcher.search_many(queries, args.k,
+                                    filters=filters or None,
+                                    fetch=args.fetch).collect()
+        for row in rows:
+            print(json.dumps(row.asDict()))
     elif args.cmd == "summary":
         from deluge_spark.plans.admin import index_summary
 
@@ -213,7 +248,8 @@ def main(argv: list[str] | None = None) -> int:
         from deluge_spark.plans.admin import append_docs
 
         print(json.dumps(append_docs(
-            spark, args.index, spark.read.parquet(args.corpus))))
+            spark, args.index, spark.read.parquet(args.corpus),
+            auto_compact_batches=args.auto_compact_batches or None)))
     elif args.cmd == "upsert":
         from deluge_spark.plans.admin import upsert_docs
 

@@ -52,6 +52,14 @@ class FilterTooUnselective(ValueError):
     this (and nothing broader) to fall back to the distributed path."""
 
 
+class TombstonesTooLarge(ValueError):
+    """The index's tombstone set exceeds ``tombstone_driver_cap`` — it is
+    not materialized on the driver (a delete-heavy 100 TB corpus can carry
+    10⁹+ tombstones), so coordinator-mode WAND cannot run. auto-mode falls
+    back to the distributed path, which resolves tombstones executor-side
+    (per-shard cogroup / anti-join); the durable fix is purge_deleted()."""
+
+
 def idf(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
@@ -78,13 +86,20 @@ class Searcher:
     #: truth for the coordinator path and the per-shard distributed pick.
     DEFAULT_TAAT_CAP = 100_000
 
+    #: above this many tombstones the set is NOT materialized on the
+    #: driver (≈8 B/id; 50M ≈ 400 MB driver+broadcast) — distributed
+    #: searches resolve it executor-side, coordinator mode raises
+    #: TombstonesTooLarge (purge_deleted is the durable fix)
+    DEFAULT_TOMBSTONE_DRIVER_CAP = 50_000_000
+
     def __init__(self, spark: SparkSession, index_dir: str,
                  local_postings_cap: int = 5_000_000,
                  filter_ids_cap: int = 2_000_000,
                  cache_stats: bool = True,
                  cache_segments: bool = False,
                  term_cache_size: int = 0,
-                 taat_cap: int | None = None):
+                 taat_cap: int | None = None,
+                 tombstone_driver_cap: int | None = None):
         """``cache_stats`` pulls the (small) term→df table to the driver once
         — the coordinating-node dictionary. ``cache_segments`` persists the
         segment DataFrame in cluster memory (interactive serving mode; leave
@@ -103,6 +118,9 @@ class Searcher:
         self.term_cache_size = term_cache_size
         self.taat_cap = (self.DEFAULT_TAAT_CAP if taat_cap is None
                          else taat_cap)
+        self.tombstone_driver_cap = (
+            self.DEFAULT_TOMBSTONE_DRIVER_CAP
+            if tombstone_driver_cap is None else tombstone_driver_cap)
         self._term_cache: OrderedDict[str, list[dict]] = OrderedDict()
         self._terms_path = os.path.join(index_dir, "stats", "terms")
         self._docs_path = os.path.join(index_dir, "docs")
@@ -135,8 +153,18 @@ class Searcher:
     def _load_tombstones(self) -> np.ndarray | None:
         from deluge_spark.index.build import read_tombstones
 
+        self._tomb_oversize = False
+        self._tomb_files: list[str] = []
         df = read_tombstones(self.spark, self.index_dir)
         if df is None:
+            return None
+        if df.count() > self.tombstone_driver_cap:
+            # scale guard: keep the set distributed (anti-join / per-shard
+            # cogroup in the executor paths); snapshot the FILE list so
+            # every query still answers from the open-time set even if
+            # deletes append afterwards
+            self._tomb_oversize = True
+            self._tomb_files = sorted(df.inputFiles())
             return None
         arr = np.unique(df.toPandas()["doc_id"].to_numpy(np.int64))
         return arr if len(arr) else None
@@ -144,7 +172,12 @@ class Searcher:
     def _tombstones_df(self) -> DataFrame | None:
         """The open-time tombstone SNAPSHOT as a DataFrame — every search
         path answers from the same snapshot (never a re-read of the
-        tombstones dir, which may have grown or been purged since open)."""
+        tombstones dir, which may have grown or been purged since open).
+        Above the driver cap this is the distributed form (read from the
+        snapshotted file list, deduped, never collected)."""
+        if self._tomb_oversize:
+            return (self.spark.read.parquet(*self._tomb_files)
+                    .select("doc_id").distinct())
         if self._tombstones is None:
             return None
         return self.spark.createDataFrame(
@@ -352,10 +385,12 @@ class Searcher:
                            F.col("doc_id").asc())
 
     def search_many(self, queries: dict[str, str], k: int = 10,
-                    round_dp: int = 9) -> DataFrame:
+                    round_dp: int = 9,
+                    filters: dict[str, dict[str, str]] | None = None,
+                    fetch: bool = False) -> DataFrame:
         """Batch top-k for MANY queries in ONE distributed job →
-        DataFrame(query, doc_id, score), per-query ranking identical to
-        ``search(mode='distributed')``.
+        DataFrame(query, doc_id, score[, doc fields]), per-query ranking
+        identical to ``search(mode='distributed')``.
 
         The cluster-serving shape for query-set evaluation over a huge
         index: per-shard tasks receive the union of all queries' matched
@@ -363,9 +398,21 @@ class Searcher:
         TAAT/WAND, same pick as the single-query path), and one per-query
         global merge takes each top-k — M queries cost one filtered
         segments scan instead of M Spark jobs. Queries whose terms are all
-        unknown simply produce no rows."""
+        unknown simply produce no rows.
+
+        ``filters``: per-query keyword filters, ``{query_name: {col:
+        val}}`` — resolved EXECUTOR-SIDE exactly like the single-query
+        distributed path (the filtered docs table, tagged per query, is
+        cogrouped with the segments on shard; no driver collect, no size
+        cap). Unlisted queries run unfiltered. ``fetch`` joins the stored
+        doc fields onto the top-k rows (broadcast semi-join, B6)."""
         from pyspark.sql import Window
 
+        filters = dict(filters or {})
+        unknown = set(filters) - set(queries)
+        if unknown:
+            raise ValueError(f"filters reference unknown query names: "
+                             f"{sorted(unknown)}")
         qterms = {name: [t for t in dict.fromkeys(tokenize_py(q, self.mode))]
                   for name, q in queries.items()}
         all_terms = sorted({t for ts in qterms.values() for t in ts})
@@ -387,21 +434,31 @@ class Searcher:
         b_idfs = sc.broadcast(idfs)
         b_qterms = sc.broadcast(qterms)
         b_tomb = self._tomb_broadcast()
+        b_filtered = sc.broadcast(frozenset(filters))
         taat_cap = self.taat_cap
 
-        def _shard_many(seg_pdf: pd.DataFrame) -> pd.DataFrame:
+        def _score_queries(seg_pdf: pd.DataFrame,
+                           allowed_by_query: dict) -> pd.DataFrame:
             rows = seg_pdf.to_dict("records")
             by_term: dict[str, list[dict]] = {}
             for r in rows:
                 by_term.setdefault(r["term"], []).append(r)
             banned = b_tomb.value if b_tomb is not None else None
+            filtered_names = b_filtered.value
             names, docs_out, scores = [], [], []
             for name, ts in b_qterms.value.items():
                 qrows = [r for t in ts for r in by_term.get(t, [])]
                 if not qrows:
                     continue
+                if name in filtered_names:
+                    # a filtered query whose filter matches nothing in
+                    # this shard gets an EMPTY allowed set, never None
+                    allowed = allowed_by_query.get(
+                        name, np.empty(0, dtype=np.int64))
+                else:
+                    allowed = None
                 top = _score_shard_rows(qrows, b_idfs.value, avgdl, k,
-                                        round_dp, None, banned, taat_cap)
+                                        round_dp, allowed, banned, taat_cap)
                 for doc, sco in top:
                     names.append(name)
                     docs_out.append(doc)
@@ -409,14 +466,46 @@ class Searcher:
             return pd.DataFrame({"query": names, "doc_id": docs_out,
                                  "score": scores})
 
-        per_shard = seg.groupBy("shard").applyInPandas(
-            _shard_many, schema=out_schema)
+        if filters:
+            docs = self.spark.read.parquet(self._docs_path)
+            fd = None
+            for name, flt in filters.items():
+                part = (docs.filter(self._filter_cond(flt))
+                        .select("shard", "doc_id")
+                        .withColumn("query", F.lit(name)))
+                fd = part if fd is None else fd.unionByName(part)
+
+            def _cogrouped_many(seg_pdf: pd.DataFrame,
+                                ids_pdf: pd.DataFrame) -> pd.DataFrame:
+                if not len(seg_pdf):
+                    return pd.DataFrame(
+                        {"query": [], "doc_id": [], "score": []})
+                allowed_by_query = {
+                    str(name): np.sort(grp["doc_id"].to_numpy(
+                        dtype=np.int64, copy=False))
+                    for name, grp in ids_pdf.groupby("query")}
+                return _score_queries(seg_pdf, allowed_by_query)
+
+            per_shard = (seg.groupBy("shard")
+                         .cogroup(fd.groupBy("shard"))
+                         .applyInPandas(_cogrouped_many, schema=out_schema))
+        else:
+            per_shard = seg.groupBy("shard").applyInPandas(
+                lambda pdf: _score_queries(pdf, {}), schema=out_schema)
         w = Window.partitionBy("query").orderBy(
             F.round("score", round_dp).desc(), F.col("doc_id").asc())
-        return (per_shard.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") <= k).drop("rn")
-                .orderBy("query", F.round("score", round_dp).desc(),
-                         F.col("doc_id").asc()))
+        out = (per_shard.withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") <= k).drop("rn"))
+        if fetch:
+            docs = self.spark.read.parquet(self._docs_path)
+            cols = [c for c in ("repo", "path", "commit", "lang", "doc_len")
+                    if c in docs.columns]
+            out = out.join(F.broadcast(
+                docs.select("doc_id", *cols)
+                .join(out.select("doc_id").distinct(), "doc_id",
+                      "left_semi")), "doc_id")
+        return out.orderBy("query", F.round("score", round_dp).desc(),
+                           F.col("doc_id").asc())
 
     def _distributed(self, seg: DataFrame, idfs: dict[str, float],
                      avgdl: float, k: int, round_dp: int,

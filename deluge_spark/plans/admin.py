@@ -85,35 +85,74 @@ def index_summary(spark: SparkSession, index_dir: str) -> dict:
 
 def compact_segments(spark: SparkSession, index_dir: str,
                      files_per_shard: int = 1) -> dict:
-    """Rewrite segment files to ``files_per_shard`` per shard — the analog
-    of the reference's post-ingest write-amp deferral (replicas 0→N,
-    /root/reference/ingestor.go:226-231) / Iceberg's rewrite_data_files:
-    many small shuffle-output files become few scan-friendly ones. Rewrites
-    into a new batch dir and removes the old ones atomically via manifest."""
+    """Squash every segment batch into ONE — the Lucene segment merge
+    behind ES ``_forcemerge`` (the reference defers write amplification
+    the same way: replicas 0→N post-ingest,
+    /root/reference/ingestor.go:226-231). Two effects at once: many small
+    shuffle-output files become ``files_per_shard`` scan-friendly ones,
+    AND per-(shard, term) rows accumulated across batches (one per append
+    / stream run) are decode→merge-sort→re-encoded into a single posting
+    list each, so query-time rows per term return to 1 regardless of how
+    many appends preceded the compaction.
+
+    Crash-safe ordering: the merged batch lands under a NEW unique name,
+    the authoritative batch list (stats/global.json — read_segments never
+    globs) is repointed, and only then are the replaced dirs removed; a
+    crash at any point leaves either the old list fully valid or the new
+    one, with at worst an orphan dir that the next compaction sweeps."""
+    import uuid
+
+    from deluge_spark.index.build import _merge_partials_reencode
+
     seg_root = os.path.join(index_dir, "segments")
-    old = [d for d in sorted(os.listdir(seg_root)) if d.startswith("batch=")]
-    seg = read_segments(spark, index_dir).drop("batch")
-    tmp = os.path.join(seg_root, "batch=compact_tmp")
-    (seg.repartition(files_per_shard, "shard")
-        .write.mode("overwrite").partitionBy("shard").parquet(tmp))
-    for d in old:
-        shutil.rmtree(os.path.join(seg_root, d))
-    os.rename(tmp, os.path.join(seg_root, "batch=compacted"))
-    # repoint the authoritative batch list (read_segments never globs)
     gpath = os.path.join(index_dir, "stats", "global.json")
+    glob_stats = None
     if os.path.exists(gpath):
         with open(gpath) as f:
             glob_stats = json.load(f)
-        glob_stats["segment_batches"] = ["batch=compacted"]
-        with open(gpath, "w") as f:
+    old = (list(glob_stats.get("segment_batches", [])) if glob_stats
+           else None)
+    if not old:    # legacy global.json: same glob fallback as read_segments
+        old = [d for d in sorted(os.listdir(seg_root))
+               if d.startswith("batch=")]
+    seg = read_segments(spark, index_dir, batches=old)
+    merged = _merge_partials_reencode(
+        seg.withColumn("shard", F.col("shard").cast("int"))
+        .select("shard", "term", "block_first", "block_last",
+                "block_count", "block_off", "data"))
+    new_name = f"batch=compacted_{uuid.uuid4().hex[:8]}"
+    tmp = os.path.join(seg_root, ".compact_tmp")
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    (merged.repartition(files_per_shard, "shard")
+        .write.mode("overwrite").partitionBy("shard").parquet(tmp))
+    os.rename(tmp, os.path.join(seg_root, new_name))
+    if glob_stats is not None:
+        glob_stats["segment_batches"] = [new_name]
+        gtmp = gpath + ".tmp"
+        with open(gtmp, "w") as f:
             json.dump(glob_stats, f)
+        os.replace(gtmp, gpath)
+    for d in sorted(os.listdir(seg_root)):   # replaced batches + orphans
+        if d.startswith("batch=") and d != new_name:
+            shutil.rmtree(os.path.join(seg_root, d))
     man = Manifest(index_dir)
+    # a streaming index's tier state must drop runs this compaction just
+    # swallowed (they're in the new base batch now; future deltas restart
+    # the tiering from empty)
+    st = man.get("stream_state")
+    if st:
+        man.commit("stream_state", runs=[],
+                   next_seq=int(st.get("next_seq", 0)),
+                   compacted_groups=list(st.get("compacted_groups", [])),
+                   num_shards=int(st.get("num_shards", 0) or 0))
     man.commit("compaction", files_per_shard=files_per_shard,
-               replaced=old)
+               replaced=old, batch=new_name)
     n_files = sum(
         len([f for f in files if f.endswith(".parquet")])
-        for _, _, files in os.walk(os.path.join(seg_root, "batch=compacted")))
-    return {"files": n_files, "replaced_batches": len(old)}
+        for _, _, files in os.walk(os.path.join(seg_root, new_name)))
+    return {"files": n_files, "replaced_batches": len(old),
+            "batch": new_name}
 
 
 #: stored-field columns the engine itself depends on: doc_id/shard key the
@@ -296,8 +335,16 @@ def _rollback_inflight_append(spark: SparkSession, index_dir: str,
                base_id=base_id)
 
 
+#: auto-compaction trigger: when an append leaves more than this many
+#: segment batches, squash them (Lucene merge-policy analog — without it a
+#: term's query-time segment rows grow linearly with append count)
+DEFAULT_AUTO_COMPACT_BATCHES = 16
+
+
 def append_docs(spark: SparkSession, index_dir: str,
-                new_corpus: DataFrame) -> dict:
+                new_corpus: DataFrame,
+                auto_compact_batches: int | None =
+                DEFAULT_AUTO_COMPACT_BATCHES) -> dict:
     """Incrementally add documents to a BUILT index — no rebuild, no touch
     of existing segments (the batch analog of the streaming delta path;
     an ES user's ``_bulk`` onto an existing index).
@@ -318,9 +365,16 @@ def append_docs(spark: SparkSession, index_dir: str,
     never a rescan of existing segment bytes.
 
     Crash-safe: a begin marker (``append_inflight`` manifest unit) records
-    the id watermark before any mutation; an interrupted append is rolled
-    back to that watermark on the next call, so retries never duplicate
-    docs or inflate stats."""
+    the id watermark AND a global.json snapshot before any mutation (the
+    pre-append terms table is retained through the stats swap); an
+    interrupted append is rolled back to that watermark — docs, docs_meta,
+    terms and global stats alike — on the next call, so retries never
+    duplicate docs or inflate df/total_postings.
+
+    ``auto_compact_batches``: when the append leaves more than this many
+    segment batches, ``compact_segments`` squashes them (Lucene's merge
+    policy behind ES ``_bulk`` — bounds per-term query rows and file count
+    under many small appends; None disables)."""
     from deluge_spark.index.build import (
         PARTIALS_SCHEMA,
         _merge_partials,
@@ -477,8 +531,13 @@ def append_docs(spark: SparkSession, index_dir: str,
     retired_terms = os.path.join(stats_dir, ".terms_append_retired")
     if os.path.exists(retired_terms):
         shutil.rmtree(retired_terms)
+    compacted = False
+    if auto_compact_batches is not None and \
+            len(batches) > auto_compact_batches:
+        compact_segments(spark, index_dir)
+        compacted = True
     return {"appended": n_new, "n_docs": glob["n_docs"],
-            "null_filled": null_filled}
+            "null_filled": null_filled, "auto_compacted": compacted}
 
 
 def upsert_docs(spark: SparkSession, index_dir: str,

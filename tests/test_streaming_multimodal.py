@@ -144,12 +144,12 @@ def test_stream_finalize_tiered_two_pass(spark, corpus_pdf, tmp_path_factory):
     # the delta pass merged only the NEW groups...
     assert r2["merged_groups"] and not (set(r2["merged_groups"])
                                         & wave1_groups)
-    # ...and its scan touched no file of an already-compacted group: input
-    # is delta partials + the previous batch=stream tier, nothing else
+    # ...and (size-tiered: no cascade due at 2 runs) its scan touched ONLY
+    # the delta partials — neither already-compacted groups nor wave 1's run
     for f in r2["input_files"]:
         assert not any(f"/{g}/" in f for g in wave1_groups), f
-        assert "/partials/" in f or "/batch=stream/" in f, f
-    assert any("/batch=stream/" in f for f in r2["input_files"])
+        assert "/partials/" in f, f
+    assert len(r2["runs"]) == 2 and r2["tier_merges"] == []
 
     # tiered result == batch build over the full 150 docs
     build_index(spark, df_all, bidx,
