@@ -24,6 +24,33 @@ import zipfile
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
+def _burn(n: int) -> int:
+    s = 0
+    for i in range(n):
+        s += i * i
+    return s
+
+
+def _calibrate(procs: int = 8, n: int = 12_000_000,
+               repeats: int = 3) -> float:
+    """Pure-CPU multiprocessing burn → units/s (procs × n / best wall).
+
+    The box's measured throughput swings >2× under hypervisor steal
+    (BENCH/BASELINE.md); sampling this before AND after the bench gives
+    every leg a hardware denominator, so cross-round comparisons can
+    separate engine regressions from environment drift (round-4 VERDICT
+    #1 — same burn as BENCH/run_scaling.py's ceiling)."""
+    import multiprocessing as mp
+
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.time()
+        with mp.Pool(procs) as p:
+            p.map(_burn, [n] * procs)
+        best = min(best, time.time() - t0)
+    return procs * n / best
+
+
 BENCH_QUERIES = [
     ("q_multi", "spark join table", 10),
     ("q_hot", "data", 10),
@@ -53,6 +80,8 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    cal_pre = _calibrate()
 
     from deluge_spark.session import get_spark
     from deluge_spark.corpus import documents_as_corpus
@@ -243,6 +272,7 @@ def main() -> None:
     shutil.rmtree(ann_big_dir, ignore_errors=True)
 
     total = time.time() - t_total
+    cal_post = _calibrate()
     out = {
         "metric": "index_build_plus_bm25_query_wall",
         "value": round(total, 4),
@@ -260,6 +290,12 @@ def main() -> None:
         "query_p95_ms": round(p95 * 1000, 2),
         "ann_120k_recall_at_10": recall,
         "ann_120k_n_vectors": nbig,
+        # hardware calibration (round-4 VERDICT #1): units/s of the pure-
+        # CPU burn sampled before and after; best-of is the denominator
+        # for cross-round comparisons on this steal-prone box
+        "calibration_units_per_sec": round(max(cal_pre, cal_post), 1),
+        "calibration_pre": round(cal_pre, 1),
+        "calibration_post": round(cal_post, 1),
     }
     shutil.rmtree(idx, ignore_errors=True)
     spark.stop()

@@ -303,6 +303,11 @@ class Searcher:
         matched postings are few), or 'wand' (block-max DAAT — the
         pruning path once matched volume is large). All produce the
         identical ranking."""
+        if self._tomb_oversize:
+            raise TombstonesTooLarge(
+                "tombstone set exceeds tombstone_driver_cap — coordinator-"
+                "mode WAND cannot hold it; use mode='distributed' (executor-"
+                "side anti-join) or purge_deleted()")
         terms = list(dict.fromkeys(tokenize_py(query, self.mode)))
         if not terms:
             return []
@@ -364,8 +369,8 @@ class Searcher:
                 top = self.search_local(query, k, filters, round_dp)
                 out = self.spark.createDataFrame(
                     [(int(d), float(s)) for d, s in top], RESULT_SCHEMA)
-            except FilterTooUnselective:
-                # ONLY the cap rejection triggers the fallback — any other
+            except (FilterTooUnselective, TombstonesTooLarge):
+                # ONLY the cap rejections trigger the fallback — any other
                 # ValueError is a real bug and must surface, not silently
                 # rerun distributed
                 if not auto:
@@ -438,12 +443,14 @@ class Searcher:
         taat_cap = self.taat_cap
 
         def _score_queries(seg_pdf: pd.DataFrame,
-                           allowed_by_query: dict) -> pd.DataFrame:
+                           allowed_by_query: dict,
+                           extra_banned: np.ndarray | None = None
+                           ) -> pd.DataFrame:
             rows = seg_pdf.to_dict("records")
             by_term: dict[str, list[dict]] = {}
             for r in rows:
                 by_term.setdefault(r["term"], []).append(r)
-            banned = b_tomb.value if b_tomb is not None else None
+            banned = b_tomb.value if b_tomb is not None else extra_banned
             filtered_names = b_filtered.value
             names, docs_out, scores = [], [], []
             for name, ts in b_qterms.value.items():
@@ -466,15 +473,35 @@ class Searcher:
             return pd.DataFrame({"query": names, "doc_id": docs_out,
                                  "score": scores})
 
+        # over-cap tombstones ride the same cogroup: filtered queries get
+        # them anti-joined out of their allowed sets; unfiltered queries
+        # receive the shard's banned ids under a reserved sentinel tag
+        BANNED_TAG = "\x00__tombstones__"
+        if BANNED_TAG in queries:
+            raise ValueError("query name collides with the reserved "
+                             "tombstone sentinel")
+        fd = None
         if filters:
             docs = self.spark.read.parquet(self._docs_path)
-            fd = None
             for name, flt in filters.items():
                 part = (docs.filter(self._filter_cond(flt))
                         .select("shard", "doc_id")
                         .withColumn("query", F.lit(name)))
                 fd = part if fd is None else fd.unionByName(part)
+        if self._tomb_oversize:
+            tomb_ids = self._tombstones_df()
+            if fd is not None:
+                fd = fd.join(tomb_ids, "doc_id", "left_anti")
+            tagged = (tomb_ids
+                      .withColumn("shard",
+                                  F.pmod(F.col("doc_id"),
+                                         F.lit(int(self.stats["num_shards"])))
+                                  .cast("int"))
+                      .select("shard", "doc_id")
+                      .withColumn("query", F.lit(BANNED_TAG)))
+            fd = tagged if fd is None else fd.unionByName(tagged)
 
+        if fd is not None:
             def _cogrouped_many(seg_pdf: pd.DataFrame,
                                 ids_pdf: pd.DataFrame) -> pd.DataFrame:
                 if not len(seg_pdf):
@@ -484,7 +511,9 @@ class Searcher:
                     str(name): np.sort(grp["doc_id"].to_numpy(
                         dtype=np.int64, copy=False))
                     for name, grp in ids_pdf.groupby("query")}
-                return _score_queries(seg_pdf, allowed_by_query)
+                extra_banned = allowed_by_query.pop(BANNED_TAG, None)
+                return _score_queries(seg_pdf, allowed_by_query,
+                                      extra_banned)
 
             per_shard = (seg.groupBy("shard")
                          .cogroup(fd.groupBy("shard"))
@@ -516,6 +545,9 @@ class Searcher:
         cogrouped with the segment rows on ``shard``, so each task receives
         exactly its shard's allowed-id set — no driver collect, no size cap
         (the docs scan prunes to (doc_id, shard) + pushed filter predicates).
+        An over-cap tombstone set resolves executor-side the same way:
+        anti-joined out of the allowed set when filtering, else cogrouped
+        per shard as the banned set — never materialized on the driver.
         """
         sc = self.spark.sparkContext
         b_idfs = sc.broadcast(idfs)
@@ -523,9 +555,12 @@ class Searcher:
         taat_cap = self.taat_cap
 
         def _shard_wand(seg_pdf: pd.DataFrame,
-                        allowed: np.ndarray | None) -> pd.DataFrame:
+                        allowed: np.ndarray | None,
+                        extra_banned: np.ndarray | None = None
+                        ) -> pd.DataFrame:
             rows = seg_pdf.to_dict("records")
-            banned = b_tomb.value if b_tomb is not None else None
+            banned = (b_tomb.value if b_tomb is not None
+                      else extra_banned)
             top = _score_shard_rows(rows, b_idfs.value, avgdl, k,
                                     round_dp, allowed, banned, taat_cap)
             return pd.DataFrame(
@@ -536,6 +571,9 @@ class Searcher:
             docs = (self.spark.read.parquet(self._docs_path)
                     .filter(self._filter_cond(filters))
                     .select("shard", "doc_id"))
+            if self._tomb_oversize:
+                docs = docs.join(self._tombstones_df(), "doc_id",
+                                 "left_anti")
 
             def _cogrouped(seg_pdf: pd.DataFrame,
                            ids_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -548,6 +586,25 @@ class Searcher:
             per_shard = (seg.groupBy("shard")
                          .cogroup(docs.groupBy("shard"))
                          .applyInPandas(_cogrouped, schema=RESULT_SCHEMA))
+        elif self._tomb_oversize:
+            tomb = (self._tombstones_df()
+                    .withColumn("shard",
+                                F.pmod(F.col("doc_id"),
+                                       F.lit(int(self.stats["num_shards"])))
+                                .cast("int")))
+
+            def _cogrouped_banned(seg_pdf: pd.DataFrame,
+                                  tomb_pdf: pd.DataFrame) -> pd.DataFrame:
+                if not len(seg_pdf):
+                    return pd.DataFrame({"doc_id": [], "score": []})
+                banned = np.sort(
+                    tomb_pdf["doc_id"].to_numpy(dtype=np.int64, copy=False))
+                return _shard_wand(seg_pdf, None, banned)
+
+            per_shard = (seg.groupBy("shard")
+                         .cogroup(tomb.groupBy("shard"))
+                         .applyInPandas(_cogrouped_banned,
+                                        schema=RESULT_SCHEMA))
         else:
             per_shard = seg.groupBy("shard").applyInPandas(
                 lambda pdf: _shard_wand(pdf, None), schema=RESULT_SCHEMA)

@@ -184,6 +184,52 @@ def build_ann_index(df: DataFrame, index_dir: str, id_col: str = "vec_id",
     return meta
 
 
+def append_ann_index(df: DataFrame, index_dir: str, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> dict:
+    """Incrementally add vectors to a persisted ANN index — no rebuild.
+
+    The sketch is a band-partitioned parquet table, so appended files just
+    add (bucket-sorted) row groups under each band dir; queries see
+    old + new on the next open. Hyperplanes are regenerated from the
+    index's recorded (dim, n_planes, bands, seed), so appended buckets are
+    globally consistent with the original build and ``AnnIndex.top_k`` is
+    exactly what a from-scratch rebuild over the union would return.
+
+    Ordering: vectors first, then sketch rows, then meta counts — the two
+    table appends are not one atomic commit, so repair a crashed append by
+    rebuilding (re-running it would duplicate the ids). ``AnnIndex``
+    handles opened before the append keep serving the pre-append snapshot;
+    reopen to see the new vectors. Duplicate-id screening is the caller's
+    responsibility (same as build)."""
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    vecs = df.select(F.col(id_col).alias("id"),
+                     _as_double(vec_col).alias("v"))
+    vecs = vecs.withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    row = vecs.agg(F.count(F.lit(1)).alias("n"),
+                   F.min(F.size("v")).alias("lo"),
+                   F.max(F.size("v")).alias("hi")).collect()[0]
+    n_new = int(row["n"] or 0)
+    if n_new == 0:
+        return meta
+    if int(row["lo"]) != meta["dim"] or int(row["hi"]) != meta["dim"]:
+        raise ValueError(
+            f"appended vectors must have dim {meta['dim']}, got "
+            f"[{row['lo']}, {row['hi']}]")
+    vecs.write.mode("append").parquet(os.path.join(index_dir, "vectors"))
+    sk = sign_sketch(df, id_col, vec_col, meta["n_planes"], meta["bands"],
+                     meta["seed"])
+    (sk.repartition("band").sortWithinPartitions("bucket", "id")
+     .write.mode("append").partitionBy("band")
+     .parquet(os.path.join(index_dir, "sketch")))
+    meta["n_vectors"] = int(meta["n_vectors"]) + n_new
+    mtmp = os.path.join(index_dir, ".meta.json.tmp")
+    with open(mtmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(mtmp, os.path.join(index_dir, "meta.json"))
+    return meta
+
+
 class AnnIndex:
     """Open-once SERVING handle over a persisted ANN index: ``meta.json``
     and the sketch/vectors DataFrame handles are resolved at open time and

@@ -411,3 +411,47 @@ def test_ann_index_serving_handle(vectors, tmp_path):
     # shared session may hold their own — compare against the baseline)
     assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) \
         == n_pinned_before
+
+
+def test_ann_index_incremental_append(vectors, tmp_path):
+    """Round-4 VERDICT #5: append vectors to a built ANN index and get
+    top_k parity with a from-scratch rebuild over the union — buckets are
+    deterministic from the recorded (dim, n_planes, bands, seed), so the
+    appended sketch rows land in exactly the buckets a rebuild computes."""
+    from deluge_spark.operators.similarity import (
+        AnnIndex,
+        append_ann_index,
+        build_ann_index,
+    )
+
+    df, vs = vectors
+    spark = df.sparkSession
+    first = df.filter(F.col("vec_id") < 80)
+    rest = df.filter(F.col("vec_id") >= 80)
+
+    inc = str(tmp_path / "ann_inc")
+    full = str(tmp_path / "ann_full")
+    m0 = build_ann_index(first, inc, n_planes=16, bands=8)
+    assert m0["n_vectors"] == 80
+    m1 = append_ann_index(rest, inc)
+    assert m1["n_vectors"] == 100
+    build_ann_index(df, full, n_planes=16, bands=8)
+
+    with AnnIndex(spark, inc) as a, AnnIndex(spark, full) as b:
+        for qi in (0, 42, 85):      # incl. a query vector from the append
+            got = [(r.vec_id, r.sim)
+                   for r in a.top_k(list(vs[qi]), 7,
+                                    exclude_id=qi).collect()]
+            want = [(r.vec_id, r.sim)
+                    for r in b.top_k(list(vs[qi]), 7,
+                                     exclude_id=qi).collect()]
+            assert got == want, qi
+        assert a.top_k(list(vs[0]), 1, exclude_id=0).collect()[0].vec_id == 1
+
+    # dim mismatch is rejected before any write
+    bad = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [999], "embedding": [[1.0, 2.0]]}))
+    with pytest.raises(ValueError, match="dim"):
+        append_ann_index(bad, inc)
+    # empty append is a no-op
+    assert append_ann_index(rest.limit(0), inc)["n_vectors"] == 100
