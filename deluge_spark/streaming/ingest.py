@@ -8,8 +8,10 @@ build (``_tokenize_encode_partials``): each micro-batch checkpoints
 compressed partial posting lists (~5 B/posting on disk and across the Arrow
 boundary — not 30 B raw tf rows), exactly-once via the streaming checkpoint
 + idempotent per-batch manifest units. ``finalize_segments`` periodically
-compacts the accumulated partials into searchable segments — the classic
-near-real-time pattern (delta runs + periodic merge).
+compacts the accumulated partials into searchable segment RUNS with a
+size-tiered (LSM/STCS) merge policy — the classic near-real-time pattern:
+delta runs land cheap, similar-size runs merge bottom-up, total rewrite
+over a stream's life is O(total · log total).
 
 Merge semantics: unlike the batch build, whose tokenize groups are doc-RANGE
 buckets (partials concatenate by byte append), micro-batches see doc_ids in
