@@ -374,8 +374,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
             # batch=* dir from an older layout would silently double-count)
             "segment_batches": batch_names,
         }
-        with open(os.path.join(stats_dir, "global.json"), "w") as f:
-            json.dump(glob, f)
+        write_global_stats(index_dir, glob)
         man.commit("stats", fp, **glob)
         _mark("term_stats")
 
@@ -1025,3 +1024,15 @@ def _reset_stale_index(index_dir: str, man: Manifest, fp: str,
 def read_global_stats(index_dir: str) -> dict:
     with open(os.path.join(index_dir, "stats", "global.json")) as f:
         return json.load(f)
+
+
+def write_global_stats(index_dir: str, glob: dict) -> None:
+    """Atomic (tmp + rename) rewrite of the index's authoritative state
+    file — global.json carries the segment-batch list every reader trusts,
+    so a crash mid-write must never leave a truncated file."""
+    stats_dir = os.path.join(index_dir, "stats")
+    os.makedirs(stats_dir, exist_ok=True)
+    tmp = os.path.join(stats_dir, ".global.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(glob, f)
+    os.replace(tmp, os.path.join(stats_dir, "global.json"))

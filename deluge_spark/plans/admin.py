@@ -30,6 +30,7 @@ from deluge_spark.index.build import (
     read_global_stats,
     read_segments,
     read_tombstones,
+    write_global_stats,
 )
 from deluge_spark.index.manifest import Manifest
 
@@ -129,10 +130,7 @@ def compact_segments(spark: SparkSession, index_dir: str,
     os.rename(tmp, os.path.join(seg_root, new_name))
     if glob_stats is not None:
         glob_stats["segment_batches"] = [new_name]
-        gtmp = gpath + ".tmp"
-        with open(gtmp, "w") as f:
-            json.dump(glob_stats, f)
-        os.replace(gtmp, gpath)
+        write_global_stats(index_dir, glob_stats)
     for d in sorted(os.listdir(seg_root)):   # replaced batches + orphans
         if d.startswith("batch=") and d != new_name:
             shutil.rmtree(os.path.join(seg_root, d))
@@ -520,8 +518,7 @@ def append_docs(spark: SparkSession, index_dir: str,
                 total_postings=int(glob.get("total_postings", 0))
                 + new_postings,
                 segment_batches=batches)
-    with open(gpath, "w") as f:
-        json.dump(glob, f)
+    write_global_stats(index_dir, glob)
     man.commit(unit, appended=n_new, n_docs=glob["n_docs"],
                segment_batch=seg_batch, null_filled=null_filled)
     man.commit("append_inflight", done=True, append_unit=unit,
@@ -764,8 +761,7 @@ def reindex(spark: SparkSession, index_dir: str, out_dir: str,
                 "tokenizer_mode", cfg.tokenizer_mode),
             "segment_batches": ["batch=0"],
             "migrated_from": index_dir}
-    with open(os.path.join(stats_dir, "global.json"), "w") as f:
-        json.dump(glob, f)
+    write_global_stats(out_dir, glob)
     man.commit("stats", **{k: v for k, v in glob.items()
                            if k != "migrated_from"})
     man.seal(wall_s=time.time() - t0, migrated_from=index_dir)

@@ -387,9 +387,8 @@ def finalize_segments(spark: SparkSession, index_dir: str,
     glob = {"n_docs": n_docs, "avgdl": avgdl, "total_postings": total,
             "num_shards": int(num_shards), "tokenizer_mode": "code",
             "segment_batches": batch_names}
-    os.makedirs(stats_dir, exist_ok=True)
-    with open(gpath, "w") as f:
-        json.dump(glob, f)
+    from deluge_spark.index.build import write_global_stats
+    write_global_stats(index_dir, glob)
     man.commit("stream_finalize", compacted_groups=all_groups, **glob)
     return {**glob, "merged_groups": new_groups, "input_files": input_files,
             "runs": [r["name"] for r in state["runs"]],
