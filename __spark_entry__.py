@@ -180,21 +180,33 @@ def _bm25_wand(spark: SparkSession, sf_dir: str, query: str, k: int,
 BATCH_QUERIES = {"multi": ("spark join table", 10),
                  "hot": ("data", 20),
                  "rare_pair": ("window order fast", 15)}
+#: per-query-filtered batch: name -> (query, k, lang filter or None) —
+#: a MIXED batch (filtered + unfiltered) through search_many(filters=)
+BATCH_FILTERED = {"f_en": ("spark join table", 10, "en"),
+                  "f_go": ("batch value", 10, "go"),
+                  "plain": ("window order fast", 10, None)}
 
 
-def _bm25_wand_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch engine path: all BATCH_QUERIES answered by ONE distributed
-    job (Searcher.search_many — union'd segment scan, per-shard per-query
-    cost-based TAAT/WAND, single per-query global merge)."""
+def _bm25_wand_batch(spark: SparkSession, sf_dir: str,
+                     spec: dict | None = None) -> DataFrame:
+    """Batch engine path: a query SET answered by ONE distributed job
+    (Searcher.search_many — union'd segment scan, per-shard per-query
+    cost-based TAAT/WAND, single per-query global merge). ``spec`` maps
+    name -> (query, k[, lang-filter]); filters resolve via the executor-
+    side per-shard cogroup (B7), per query."""
     s = _get_searcher(spark, sf_dir)
-    out = s.search_many({name: q for name, (q, _) in BATCH_QUERIES.items()},
-                        k=max(k for _, k in BATCH_QUERIES.values()),
-                        round_dp=SCORE_DP)
+    spec = {name: (v + (None,))[:3]
+            for name, v in (spec or BATCH_QUERIES).items()}
+    filters = {name: {"lang": lang}
+               for name, (_, _, lang) in spec.items() if lang}
+    out = s.search_many({name: q for name, (q, _, _) in spec.items()},
+                        k=max(k for _, k, _ in spec.values()),
+                        round_dp=SCORE_DP, filters=filters or None)
     # per-query k differs: apply each query's own k on the merged frame
     from pyspark.sql import Window
     w = Window.partitionBy("query").orderBy(
         F.round("score", SCORE_DP).desc(), F.col("doc_id").asc())
-    ks = F.create_map(*[x for name, (_, k) in BATCH_QUERIES.items()
+    ks = F.create_map(*[x for name, (_, k, _) in spec.items()
                         for x in (F.lit(name), F.lit(k))])
     return (out.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= ks[F.col("query")]).drop("rn")
@@ -267,6 +279,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_wand_missing"] = lambda s, d: _bm25_wand(s, d, "zzzabsentterm", 10)
     # batch serving path: M queries in ONE distributed job (search_many)
     q["bm25_wand_batch"] = lambda s, d: _bm25_wand_batch(s, d)
+    # mixed filtered+unfiltered batch: per-query keyword filters via the
+    # executor-side shard cogroup (round-5: search_many filters= parity)
+    q["bm25_wand_batch_filtered"] = lambda s, d: _bm25_wand_batch(
+        s, d, BATCH_FILTERED)
     # bm25_topk_*: the pure-DataFrame scoring twin (cross-check path).
     q["bm25_topk_multi"] = lambda s, d: _bm25(s, d, "spark join table", 10)
     q["bm25_topk_hot"] = lambda s, d: _bm25(s, d, "data", 20)
@@ -503,6 +519,9 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_wand_batch"] = " UNION ALL ".join(
         f"SELECT '{name}' AS query, * FROM ({_bm25_sql(q, k)})"
         for name, (q, k) in BATCH_QUERIES.items())
+    o["bm25_wand_batch_filtered"] = " UNION ALL ".join(
+        f"SELECT '{name}' AS query, * FROM ({_bm25_sql(q, k, lang=lang)})"
+        for name, (q, k, lang) in BATCH_FILTERED.items())
     o["bm25_topk_multi"] = _bm25_sql("spark join table", 10)
     o["bm25_topk_hot"] = _bm25_sql("data", 20)
     o["bm25_topk_rare_pair"] = _bm25_sql("window order fast", 15)

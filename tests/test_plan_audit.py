@@ -70,3 +70,43 @@ def test_dataframe_path_broadcasts_idf(spark, index_dir):
     s = Searcher(spark, index_dir)
     plan = _physical(s.search_dataframe("import return", 5))
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_search_many_filter_pushed_and_no_cartesian(spark, index_dir):
+    """The batch path's per-query filters must reach the docs parquet scan
+    as pushed predicates (one tagged scan per filtered query, cogrouped on
+    shard) — and the plan must contain no cartesian/nested-loop join."""
+    s = Searcher(spark, index_dir)
+    out = s.search_many({"a": "import return", "b": "data value"},
+                        k=5, filters={"a": {"lang": "python"},
+                                      "b": {"lang": "go"}})
+    plan = _physical(out)
+    assert "EqualTo(lang,python)" in plan, plan
+    assert "EqualTo(lang,go)" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    docs_scan = [ln for ln in plan.splitlines()
+                 if "docs" in ln and "ReadSchema" in ln]
+    assert any("content" not in ln for ln in docs_scan)
+
+
+def test_oversize_tombstone_path_no_driver_materialization(spark, index_dir,
+                                                           corpus_df):
+    """Forced over-cap tombstones: the distributed plan reads the
+    tombstone parquet and cogroups it — no driver collect happens at open
+    (asserted structurally: _tombstones is None, and the plan references
+    the tombstones scan)."""
+    import tempfile
+
+    from deluge_spark.plans.admin import delete_docs
+
+    d = str(tempfile.mkdtemp(prefix="plan_tomb_"))
+    build_index(spark, corpus_df, d,
+                BuildConfig(num_shards=2, tokenize_groups=1,
+                            shard_batches=1))
+    delete_docs(spark, d, doc_ids=[1, 2, 3, 4, 5])
+    s = Searcher(spark, d, tombstone_driver_cap=2)
+    assert s._tombstones is None and s._tomb_oversize
+    plan = _physical(s.search("import return", 5, mode="distributed"))
+    assert "tombstones" in plan, plan
+    assert "CartesianProduct" not in plan
