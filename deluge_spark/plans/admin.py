@@ -153,6 +153,68 @@ def compact_segments(spark: SparkSession, index_dir: str,
             "batch": new_name}
 
 
+def merge_small_batches(spark: SparkSession, index_dir: str,
+                        keep: int) -> dict:
+    """Lucene-style PARTIAL merge: re-encode-merge the smallest segment
+    batches so at most ``keep`` remain — the big base batches are never
+    rewritten (unlike ``compact_segments``, whose full rewrite costs
+    O(index) every trigger; repeated smallest-first merges amortize to
+    O(total · log N) across N appends, each doc rewritten O(log N) times).
+    Crash-safe with the same new-name → repoint → sweep ordering as
+    ``compact_segments``; the sweep touches only append/merged batch dirs,
+    never pending streaming run dirs."""
+    import uuid
+
+    from deluge_spark.index.build import _merge_partials_reencode
+
+    glob = read_global_stats(index_dir)
+    batches = list(glob.get("segment_batches", []))
+    if len(batches) <= keep:
+        return {"merged_batches": 0, "batches": len(batches)}
+    seg_root = os.path.join(index_dir, "segments")
+    sizes = {f"batch={r['batch']}": int(r["p"] or 0)
+             for r in read_segments(spark, index_dir, batches=batches)
+             .groupBy("batch").agg(F.sum("n_postings").alias("p"))
+             .collect()}
+    # streaming run dirs belong to the finalize tier state — merging them
+    # here would leave that state pointing at deleted dirs; they have
+    # their own size-tiered policy (streaming/ingest.py)
+    order = sorted((b for b in batches if not b.startswith("batch=stream")),
+                   key=lambda b: sizes.get(b, 0))
+    inputs = order[:len(batches) - keep + 1]
+    if len(inputs) < 2:
+        return {"merged_batches": 0, "batches": len(batches)}
+    merged = _merge_partials_reencode(
+        read_segments(spark, index_dir, batches=inputs)
+        .withColumn("shard", F.col("shard").cast("int"))
+        .select("shard", "term", "block_first", "block_last",
+                "block_count", "block_off", "data"))
+    new_name = f"batch=merged_{uuid.uuid4().hex[:8]}"
+    tmp = os.path.join(seg_root, ".merge_small_tmp")
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    merged.write.mode("overwrite").partitionBy("shard").parquet(tmp)
+    os.rename(tmp, os.path.join(seg_root, new_name))
+    glob["segment_batches"] = \
+        [b for b in batches if b not in set(inputs)] + [new_name]
+    write_global_stats(index_dir, glob)
+    live = set(glob["segment_batches"])
+    for d in sorted(os.listdir(seg_root)):   # inputs + crash orphans
+        if (d.startswith("batch=append_") or d.startswith("batch=merged_")) \
+                and d not in live:
+            shutil.rmtree(os.path.join(seg_root, d))
+    for d in inputs:                          # e.g. a swallowed batch=0
+        p = os.path.join(seg_root, d)
+        if os.path.exists(p):
+            shutil.rmtree(p)
+    Manifest(index_dir).commit(
+        f"merge_small_{new_name.split('_', 1)[1]}",
+        inputs=inputs, batch=new_name,
+        postings_merged=sum(sizes.get(b, 0) for b in inputs))
+    return {"merged_batches": len(inputs), "batch": new_name,
+            "batches": len(glob["segment_batches"])}
+
+
 #: stored-field columns the engine itself depends on: doc_id/shard key the
 #: segment postings, content_sha256 is the dedup/identity invariant
 PROTECTED_STORED_FIELDS = frozenset({"doc_id", "shard", "content_sha256"})
@@ -370,9 +432,12 @@ def append_docs(spark: SparkSession, index_dir: str,
     duplicate docs or inflate df/total_postings.
 
     ``auto_compact_batches``: when the append leaves more than this many
-    segment batches, ``compact_segments`` squashes them (Lucene's merge
-    policy behind ES ``_bulk`` — bounds per-term query rows and file count
-    under many small appends; None disables)."""
+    segment batches, ``merge_small_batches`` folds the smallest ones
+    together (Lucene's merge policy behind ES ``_bulk`` — bounds batch
+    count and per-term query rows under many small appends WITHOUT a full
+    index rewrite: big base batches are never touched, so N appends
+    amortize to O(total · log N) bytes rewritten; None disables;
+    ``compact_segments`` remains the explicit full force-merge)."""
     from deluge_spark.index.build import (
         PARTIALS_SCHEMA,
         _merge_partials,
@@ -531,7 +596,11 @@ def append_docs(spark: SparkSession, index_dir: str,
     compacted = False
     if auto_compact_batches is not None and \
             len(batches) > auto_compact_batches:
-        compact_segments(spark, index_dir)
+        # PARTIAL merge of the smallest batches (Lucene merge policy):
+        # bounds batch count at the threshold without compact_segments'
+        # full O(index) rewrite every trigger — N appends amortize to
+        # O(total · log N) rewritten, each doc remerged O(log N) times
+        merge_small_batches(spark, index_dir, keep=auto_compact_batches)
         compacted = True
     return {"appended": n_new, "n_docs": glob["n_docs"],
             "null_filled": null_filled, "auto_compacted": compacted}

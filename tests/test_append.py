@@ -290,3 +290,14 @@ def test_many_small_appends_auto_compact(spark, corpus_df,
     assert s_inc._df_map == s_full._df_map
     for q in QUERIES:
         assert s_inc.search_local(q, 10) == s_full.search_local(q, 10), q
+
+    # amortized cost: the policy is a PARTIAL merge of the smallest
+    # batches — total postings remerged across every trigger must stay far
+    # below what full compaction per trigger would have rewritten
+    # (compactions × total_postings)
+    from deluge_spark.index.manifest import Manifest
+    merged_total = sum(int(e.get("postings_merged", 0))
+                       for e in Manifest(d).entries()
+                       if e["unit"].startswith("merge_small_"))
+    full_cost = compactions * s_full.stats["total_postings"]
+    assert 0 < merged_total < 0.5 * full_cost, (merged_total, full_cost)
