@@ -108,7 +108,17 @@ class Searcher:
         segment rows (the Lucene/ES query-cache analog): coordinator-mode
         queries whose terms are cached run with ZERO Spark jobs. Memory is
         ~5 B/posting per cached term (compressed blocks, skip arrays) —
-        size it by term count against the expected hot-term df."""
+        size it by term count against the expected hot-term df.
+
+        Snapshot semantics: a Searcher answers from the index state at
+        open time (stats, dictionary, tombstones, batch list). Additive
+        changes (append, delete, stream finalize) are simply invisible
+        until ``refresh()``/reopen; structural rewrites that DELETE old
+        batch dirs (compact_segments, merge_small_batches via append
+        auto-compaction, purge_deleted) invalidate open handles — unlike
+        Lucene, parquet files aren't held open, so refresh()/reopen after
+        such ops (single-writer discipline, same as the rest of the
+        admin surface)."""
         self.spark = spark
         self.index_dir = index_dir
         self.stats = read_global_stats(index_dir)

@@ -258,7 +258,8 @@ def _pick_tier_merge(runs: list[dict], k: int) -> list[dict] | None:
 
 def finalize_segments(spark: SparkSession, index_dir: str,
                       num_shards: int | None = None,
-                      tier_factor: int = DEFAULT_TIER_FACTOR) -> dict:
+                      tier_factor: int = DEFAULT_TIER_FACTOR,
+                      gc_groups: bool = False) -> dict:
     """Compact streaming partial checkpoints into searchable segments +
     stats — SIZE-TIERED (LSM): each finalize re-encode-merges ONLY the
     stream groups that arrived since the last finalize into a new run
@@ -280,6 +281,14 @@ def finalize_segments(spark: SparkSession, index_dir: str,
     Stats: the terms table is recomputed from all batches via
     pruned-column reads (term/df_local/cf_local only — O(vocabulary ×
     runs), never the posting blobs).
+
+    ``gc_groups``: after the stats commit, delete partial group dirs that
+    are folded into a committed run (and prune them from the tracked
+    list). Safe — the tiered design never re-reads a compacted group
+    (queries read runs; docs_meta deltas are already persisted; an
+    exactly-once replay of a GC'd micro-batch is skipped by its manifest
+    unit) — and halves the stream's steady-state storage; off by default
+    for forensic retention.
 
     Returns the stats summary plus ``merged_groups`` (the delta groups
     folded this pass), ``input_files`` (every parquet file the merges
@@ -390,9 +399,22 @@ def finalize_segments(spark: SparkSession, index_dir: str,
     from deluge_spark.index.build import write_global_stats
     write_global_stats(index_dir, glob)
     man.commit("stream_finalize", compacted_groups=all_groups, **glob)
+
+    gcd: list[str] = []
+    if gc_groups:
+        for g in state["compacted_groups"]:
+            p = os.path.join(partials_path, g)
+            if os.path.exists(p):
+                shutil.rmtree(p)
+                gcd.append(g)
+        if gcd:
+            state["compacted_groups"] = [
+                g for g in state["compacted_groups"]
+                if os.path.exists(os.path.join(partials_path, g))]
+            _commit_state(man, state)
     return {**glob, "merged_groups": new_groups, "input_files": input_files,
             "runs": [r["name"] for r in state["runs"]],
-            "tier_merges": tier_merges}
+            "tier_merges": tier_merges, "gc_groups": gcd}
 
 
 def stream_events_windowed(spark: SparkSession, source_dir: str,

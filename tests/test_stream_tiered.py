@@ -180,3 +180,33 @@ def test_legacy_single_tier_migrates_as_one_run(spark, corpus_pdf,
                 BuildConfig(num_shards=NUM_SHARDS, tokenize_groups=2,
                             shard_batches=1))
     _assert_matches_batch(spark, sidx, bidx)
+
+
+def test_gc_groups_releases_partials_results_hold(spark, corpus_pdf,
+                                                  tmp_path_factory):
+    """gc_groups deletes compacted partial groups (steady-state storage
+    halves); searches stay identical and later waves finalize normally."""
+    sidx = str(tmp_path_factory.mktemp("gc_sidx"))
+    bidx = str(tmp_path_factory.mktemp("gc_bidx"))
+    pdf = corpus_pdf.copy().reset_index(drop=True).head(90)
+    pdf["doc_id"] = range(len(pdf))
+
+    _write_group(spark, sidx, pdf.iloc[:45], 0)
+    r1 = finalize_segments(spark, sidx, num_shards=NUM_SHARDS,
+                           gc_groups=True)
+    assert r1["gc_groups"] == ["group=stream_0000"]
+    partials = os.path.join(sidx, "partials")
+    assert not any(d.startswith("group=") for d in os.listdir(partials))
+
+    _write_group(spark, sidx, pdf.iloc[45:], 1)
+    r2 = finalize_segments(spark, sidx, num_shards=NUM_SHARDS,
+                           gc_groups=True)
+    assert r2["merged_groups"] == ["group=stream_0001"]
+    # (n_docs counts docs with tokens — the fixture plants empty docs;
+    # exact equality with the batch build is asserted below)
+    assert r2["n_docs"] > r1["n_docs"]
+
+    build_index(spark, spark.createDataFrame(pdf), bidx,
+                BuildConfig(num_shards=NUM_SHARDS, tokenize_groups=2,
+                            shard_batches=1))
+    _assert_matches_batch(spark, sidx, bidx)
