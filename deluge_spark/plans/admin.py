@@ -478,6 +478,15 @@ def append_docs(spark: SparkSession, index_dir: str,
     shifted = assigned.withColumn(
         "doc_id", (F.col("doc_id") + F.lit(base_id)).cast("long"))
 
+    # clear any retired-terms leftover of a COMPLETED append (crash between
+    # its done-commit and cleanup) BEFORE this append's begin marker: the
+    # rollback contract is that .terms_append_retired, when present with an
+    # open marker, always belongs to THAT marker's append — restoring an
+    # older leftover would silently drop the completed append's df/cf
+    stale_retired = os.path.join(index_dir, "stats",
+                                 ".terms_append_retired")
+    if os.path.exists(stale_retired):
+        shutil.rmtree(stale_retired)
     # the begin marker carries a snapshot of global.json so rollback can
     # restore stats exactly (terms are restored from the retained retired
     # dir — see _rollback_inflight_append)

@@ -163,6 +163,11 @@ def _apply_intent_to_state(state: dict, it: dict) -> None:
         state["compacted_groups"] = sorted(
             set(state["compacted_groups"]) | set(it["groups"]))
     state["next_seq"] = max(state["next_seq"], int(it["seq"]) + 1)
+    # the intent carries num_shards so a crash during the FIRST finalize
+    # (no prior state commit to learn it from) can't be recovered into a
+    # state claiming num_shards=0
+    state["num_shards"] = max(state["num_shards"],
+                              int(it.get("num_shards", 0)))
 
 
 def _recover_stream_intent(man: Manifest, seg_root: str,
@@ -225,7 +230,7 @@ def _write_run(spark: SparkSession, man: Manifest, seg_root: str,
         f.write(gen)
     it = {"out": name, "tmp": tmp_name, "gen": gen, "seq": seq,
           "postings": postings, "groups": groups or [],
-          "inputs": inputs or []}
+          "inputs": inputs or [], "num_shards": state["num_shards"]}
     man.commit("stream_intent", **it)
     out = os.path.join(seg_root, name)
     if os.path.exists(out):
@@ -320,7 +325,9 @@ def finalize_segments(spark: SparkSession, index_dir: str,
                 glob = json.load(f)
         return {**glob, "merged_groups": [], "input_files": [],
                 "runs": [r["name"] for r in state["runs"]],
-                "tier_merges": []}
+                "tier_merges": [],
+                "gc_groups": _gc_compacted_groups(
+                    man, partials_path, state) if gc_groups else []}
 
     input_files: list[str] = []
     if new_groups:
@@ -399,22 +406,30 @@ def finalize_segments(spark: SparkSession, index_dir: str,
     from deluge_spark.index.build import write_global_stats
     write_global_stats(index_dir, glob)
     man.commit("stream_finalize", compacted_groups=all_groups, **glob)
-
-    gcd: list[str] = []
-    if gc_groups:
-        for g in state["compacted_groups"]:
-            p = os.path.join(partials_path, g)
-            if os.path.exists(p):
-                shutil.rmtree(p)
-                gcd.append(g)
-        if gcd:
-            state["compacted_groups"] = [
-                g for g in state["compacted_groups"]
-                if os.path.exists(os.path.join(partials_path, g))]
-            _commit_state(man, state)
+    gcd = _gc_compacted_groups(man, partials_path, state) if gc_groups \
+        else []
     return {**glob, "merged_groups": new_groups, "input_files": input_files,
             "runs": [r["name"] for r in state["runs"]],
             "tier_merges": tier_merges, "gc_groups": gcd}
+
+
+def _gc_compacted_groups(man: Manifest, partials_path: str,
+                         state: dict) -> list[str]:
+    """Delete partial group dirs already folded into a committed run and
+    prune them from the tracked list (see ``finalize_segments(gc_groups)``
+    for why this is safe). Returns the groups removed."""
+    gcd: list[str] = []
+    for g in state["compacted_groups"]:
+        p = os.path.join(partials_path, g)
+        if os.path.exists(p):
+            shutil.rmtree(p)
+            gcd.append(g)
+    if gcd:
+        state["compacted_groups"] = [
+            g for g in state["compacted_groups"]
+            if os.path.exists(os.path.join(partials_path, g))]
+        _commit_state(man, state)
+    return gcd
 
 
 def stream_events_windowed(spark: SparkSession, source_dir: str,

@@ -301,3 +301,62 @@ def test_many_small_appends_auto_compact(spark, corpus_df,
                        if e["unit"].startswith("merge_small_"))
     full_cost = compactions * s_full.stats["total_postings"]
     assert 0 < merged_total < 0.5 * full_cost, (merged_total, full_cost)
+
+
+def test_stale_retired_terms_not_restored_by_later_rollback(
+        spark, corpus_df, split_corpus, tmp_path_factory, monkeypatch):
+    """Self-review (r5): a .terms_append_retired leftover from a COMPLETED
+    append (crash between its done-commit and cleanup) must not be
+    restored by the rollback of a LATER append that crashed before its
+    stats phase — that would silently drop the completed append's df/cf.
+    The leftover is cleared at the next append's begin."""
+    import os
+    import shutil
+
+    import deluge_spark.plans.admin as admin
+
+    first, second, _ = split_corpus
+    cfgf = lambda: BuildConfig(num_shards=4, tokenize_groups=2,  # noqa: E731
+                               shard_batches=1)
+    full_dir = str(tmp_path_factory.mktemp("stale_full"))
+    build_index(spark, corpus_df, full_dir, cfgf())
+    d = str(tmp_path_factory.mktemp("stale_inc"))
+    build_index(spark, first, d, cfgf())
+
+    # natural-key-ordered split so the two appends assign the same ids the
+    # full build would (same contract as split_corpus)
+    keyed2 = assign_doc_ids(second)
+    m2 = keyed2.count()
+    half = spark.createDataFrame(
+        keyed2.filter(f"doc_id < {m2 // 2}").drop("doc_id").toPandas())
+    rest = spark.createDataFrame(
+        keyed2.filter(f"doc_id >= {m2 // 2}").drop("doc_id").toPandas())
+    unpersist_assigned(keyed2)
+    # append_0 completes, but "crashes" between done-commit and the
+    # retired-dir cleanup: recreate the leftover by snapshotting terms
+    # before the append and restoring the snapshot dir afterwards
+    terms = os.path.join(d, "stats", "terms")
+    snap = os.path.join(d, "stats", ".terms_snapshot_for_test")
+    shutil.copytree(terms, snap)
+    append_docs(spark, d, half)
+    shutil.move(snap, os.path.join(d, "stats", ".terms_append_retired"))
+
+    # append_1 crashes BEFORE its stats phase (during the segment merge)
+    from deluge_spark.index import build as buildmod
+    real_merge = buildmod._merge_partials
+
+    def boom(*a, **k):
+        raise RuntimeError("injected append crash")
+
+    monkeypatch.setattr(buildmod, "_merge_partials", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        admin.append_docs(spark, d, rest)
+    monkeypatch.setattr(buildmod, "_merge_partials", real_merge)
+
+    out = admin.append_docs(spark, d, rest)    # rollback + retry
+    s_full, s_inc = Searcher(spark, full_dir), Searcher(spark, d)
+    assert out["n_docs"] == s_full.stats["n_docs"]
+    # append_0's df/cf survived — the exact loss this guards against
+    assert s_inc._df_map == s_full._df_map
+    for q in QUERIES:
+        assert s_inc.search_local(q, 10) == s_full.search_local(q, 10), q

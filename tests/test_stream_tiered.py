@@ -210,3 +210,35 @@ def test_gc_groups_releases_partials_results_hold(spark, corpus_pdf,
                 BuildConfig(num_shards=NUM_SHARDS, tokenize_groups=2,
                             shard_batches=1))
     _assert_matches_batch(spark, sidx, bidx)
+
+
+def test_first_finalize_crash_preserves_num_shards(spark, corpus_pdf,
+                                                   tmp_path_factory,
+                                                   monkeypatch):
+    """Self-review (r5): a crash during the VERY FIRST finalize (no prior
+    state commit) must not recover into a state claiming num_shards=0 —
+    the intent carries num_shards. The retry runs WITHOUT an explicit
+    num_shards and with no new groups (nothing left to infer from)."""
+    from deluge_spark.index import manifest as manifest_mod
+
+    sidx = str(tmp_path_factory.mktemp("ns_sidx"))
+    pdf = corpus_pdf.copy().reset_index(drop=True).head(40)
+    pdf["doc_id"] = range(len(pdf))
+    _write_group(spark, sidx, pdf, 0)
+
+    real_commit = manifest_mod.Manifest.commit
+
+    def boom(self, unit, *a, **k):
+        if unit == "stream_state":
+            raise RuntimeError("injected crash before state commit")
+        return real_commit(self, unit, *a, **k)
+
+    monkeypatch.setattr(manifest_mod.Manifest, "commit", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        finalize_segments(spark, sidx, num_shards=NUM_SHARDS)
+    monkeypatch.setattr(manifest_mod.Manifest, "commit", real_commit)
+
+    r = finalize_segments(spark, sidx)          # no explicit num_shards
+    assert r["merged_groups"] == []             # rolled forward, not redone
+    assert r["num_shards"] == NUM_SHARDS
+    assert Searcher(spark, sidx).stats["num_shards"] == NUM_SHARDS
