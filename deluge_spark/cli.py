@@ -4,6 +4,10 @@
   python -m deluge_spark.cli search  --index <index_dir> --query "..." [-k N]
   python -m deluge_spark.cli search-many --index <index_dir> \
       --queries queries.json [-k N] [--fetch]
+  python -m deluge_spark.cli stream-ingest --source <dir> --index <dir> \
+      --schema "..." [--finalize] [--gc-groups]
+  python -m deluge_spark.cli stream-finalize --index <index_dir> \
+      [--tier-factor K] [--gc-groups]
   python -m deluge_spark.cli summary --index <index_dir>
   python -m deluge_spark.cli reindex --index <index_dir> --out <dir> --shards N
   python -m deluge_spark.cli compact --index <index_dir> [--files-per-shard N]
@@ -82,6 +86,28 @@ def main(argv: list[str] | None = None) -> int:
                          "{col: val}}")
     sm.add_argument("-k", type=int, default=10)
     sm.add_argument("--fetch", action="store_true")
+
+    si = sub.add_parser("stream-ingest",
+                        help="streaming ingest of an arriving-files dir "
+                             "(availableNow trigger: drains what's there, "
+                             "checkpoints, exits; re-run as files arrive)")
+    si.add_argument("--source", required=True,
+                    help="parquet dir files arrive into (must carry doc_id)")
+    si.add_argument("--index", required=True)
+    si.add_argument("--schema", required=True,
+                    help="DDL schema of the source rows")
+    si.add_argument("--shards", type=int, default=8)
+    si.add_argument("--finalize", action="store_true",
+                    help="compact new deltas into searchable runs after "
+                         "the drain")
+    si.add_argument("--gc-groups", action="store_true")
+
+    sfz = sub.add_parser("stream-finalize",
+                         help="compact accumulated stream deltas into "
+                              "searchable segment runs (size-tiered)")
+    sfz.add_argument("--index", required=True)
+    sfz.add_argument("--tier-factor", type=int, default=4)
+    sfz.add_argument("--gc-groups", action="store_true")
 
     m = sub.add_parser("summary")
     m.add_argument("--index", required=True)
@@ -218,6 +244,32 @@ def main(argv: list[str] | None = None) -> int:
                                     fetch=args.fetch).collect()
         for row in rows:
             print(json.dumps(row.asDict()))
+    elif args.cmd == "stream-ingest":
+        from deluge_spark.index.build import BuildConfig
+        from deluge_spark.streaming.ingest import (
+            finalize_segments,
+            stream_ingest_corpus,
+        )
+
+        q = stream_ingest_corpus(spark, args.source, args.index,
+                                 args.schema,
+                                 BuildConfig(num_shards=args.shards))
+        q.awaitTermination()
+        out = {"stream": "drained"}
+        if args.finalize:
+            fin = finalize_segments(spark, args.index,
+                                    num_shards=args.shards,
+                                    gc_groups=args.gc_groups)
+            out = {k: v for k, v in fin.items() if k != "input_files"}
+        print(json.dumps(out))
+    elif args.cmd == "stream-finalize":
+        from deluge_spark.streaming.ingest import finalize_segments
+
+        fin = finalize_segments(spark, args.index,
+                                tier_factor=args.tier_factor,
+                                gc_groups=args.gc_groups)
+        print(json.dumps({k: v for k, v in fin.items()
+                          if k != "input_files"}))
     elif args.cmd == "summary":
         from deluge_spark.plans.admin import index_summary
 

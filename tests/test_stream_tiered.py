@@ -242,3 +242,47 @@ def test_first_finalize_crash_preserves_num_shards(spark, corpus_pdf,
     assert r["merged_groups"] == []             # rolled forward, not redone
     assert r["num_shards"] == NUM_SHARDS
     assert Searcher(spark, sidx).stats["num_shards"] == NUM_SHARDS
+
+
+def test_stream_cli_ingest_finalize_search(spark, corpus_pdf,
+                                           tmp_path_factory):
+    """CLI e2e for the streaming surface: stream-ingest --finalize drains
+    an arriving-files dir into searchable runs; a second wave goes through
+    stream-finalize; search answers through the CLI."""
+    import subprocess
+    import sys
+
+    def run(*args):
+        p = subprocess.run(
+            [sys.executable, "-m", "deluge_spark.cli", *args],
+            capture_output=True, text=True, timeout=600)
+        assert p.returncode == 0, p.stderr[-3000:]
+        return [json.loads(ln) for ln in p.stdout.splitlines()
+                if ln.startswith("{")]
+
+    src = str(tmp_path_factory.mktemp("cli_stream_src"))
+    sidx = str(tmp_path_factory.mktemp("cli_stream_idx"))
+    pdf = corpus_pdf.copy().reset_index(drop=True).head(80)
+    pdf["doc_id"] = range(len(pdf))
+    schema = ("repo string, path string, commit string, lang string, "
+              "content string, doc_id long")
+
+    spark.createDataFrame(pdf.iloc[:50]).repartition(8).write.mode(
+        "overwrite").parquet(src)
+    out1 = run("stream-ingest", "--source", src, "--index", sidx,
+               "--schema", schema, "--shards", str(NUM_SHARDS),
+               "--finalize", "--gc-groups")[-1]
+    assert out1["merged_groups"] and out1["num_shards"] == NUM_SHARDS
+
+    spark.createDataFrame(pdf.iloc[50:]).repartition(4).write.mode(
+        "append").parquet(src)
+    run("stream-ingest", "--source", src, "--index", sidx,
+        "--schema", schema, "--shards", str(NUM_SHARDS))
+    out2 = run("stream-finalize", "--index", sidx, "--gc-groups")[-1]
+    assert out2["merged_groups"]
+
+    hits = run("search", "--index", sidx, "--query", "import return table",
+               "-k", "5")
+    want = Searcher(spark, sidx).search_local("import return table", 5)
+    assert [(h["doc_id"], round(h["score"], 9)) for h in hits] == \
+        [(d, round(s, 9)) for d, s in want]
