@@ -55,18 +55,51 @@ def summarize_source(df: DataFrame, text_col: str = "content") -> dict:
             "pretty": f"{docs} docs, {format_bytes(nbytes)}"}
 
 
+def _segment_bytes_by_shard(index_dir: str) -> dict[int, int]:
+    """Per-shard ON-DISK parquet bytes from a filesystem metadata walk of
+    the authoritative batch dirs — O(files), never a scan of the posting
+    blobs (a summary must not read the index; at 100 TB summing
+    length(data) IS a full index scan)."""
+    seg_root = os.path.join(index_dir, "segments")
+    gpath = os.path.join(index_dir, "stats", "global.json")
+    batches = None
+    if os.path.exists(gpath):
+        with open(gpath) as f:
+            batches = json.load(f).get("segment_batches")
+    if batches is None:
+        batches = [d for d in sorted(os.listdir(seg_root))
+                   if d.startswith("batch=")]
+    out: dict[int, int] = {}
+    for b in batches:
+        bdir = os.path.join(seg_root, b)
+        if not os.path.isdir(bdir):
+            continue
+        for d in os.listdir(bdir):
+            if not d.startswith("shard="):
+                continue
+            s = int(d.split("=", 1)[1])
+            sdir = os.path.join(bdir, d)
+            out[s] = out.get(s, 0) + sum(
+                e.stat().st_size for e in os.scandir(sdir)
+                if e.name.endswith(".parquet"))
+    return out
+
+
 def index_summary(spark: SparkSession, index_dir: str) -> dict:
-    """Index stats: corpus stats + per-shard segment rollup + manifest."""
+    """Index stats: corpus stats + per-shard segment rollup + manifest.
+    ``bytes`` are on-disk parquet sizes (metadata walk); terms/postings
+    come from pruned-column aggregates — the posting blobs are never
+    read."""
     stats = read_global_stats(index_dir)
     seg = read_segments(spark, index_dir)
+    disk = _segment_bytes_by_shard(index_dir)
     shards = {
         int(r["shard"]): {"terms": int(r["terms"]),
                           "postings": int(r["postings"]),
-                          "bytes": int(r["bytes"])}
+                          "bytes": disk.get(int(r["shard"]), 0)}
         for r in seg.groupBy("shard").agg(
             F.count(F.lit(1)).alias("terms"),
-            F.sum("n_postings").alias("postings"),
-            F.sum(F.length("data")).alias("bytes")).collect()
+            F.sum("n_postings").alias("postings")).collect()
     }
     man = Manifest(index_dir)
     tomb = read_tombstones(spark, index_dir)
