@@ -360,3 +360,47 @@ def test_stale_retired_terms_not_restored_by_later_rollback(
     assert s_inc._df_map == s_full._df_map
     for q in QUERIES:
         assert s_inc.search_local(q, 10) == s_full.search_local(q, 10), q
+
+
+def test_merge_small_batches_direct(spark, corpus_df, split_corpus,
+                                    tmp_path_factory):
+    """Direct contract of the partial merge: smallest batches fold until
+    ``keep`` remain, searches unchanged, repeat call is a no-op, replaced
+    dirs swept."""
+    import json
+    import os
+
+    from deluge_spark.plans.admin import merge_small_batches
+
+    first, second, _ = split_corpus
+    d = str(tmp_path_factory.mktemp("msb"))
+    build_index(spark, first, d,
+                BuildConfig(num_shards=2, tokenize_groups=1,
+                            shard_batches=1))
+    keyed2 = assign_doc_ids(second)
+    pdf2 = keyed2.toPandas().sort_values("doc_id").reset_index(drop=True)
+    unpersist_assigned(keyed2)
+    third = len(pdf2) // 3
+    for i in range(3):
+        sl = pdf2.iloc[i * third:(i + 1) * third if i < 2 else len(pdf2)]
+        append_docs(spark, d, spark.createDataFrame(
+            sl.drop(columns=["doc_id"])), auto_compact_batches=None)
+
+    s_before = Searcher(spark, d)
+    before = {q: s_before.search_local(q, 10) for q in QUERIES}
+    with open(os.path.join(d, "stats", "global.json")) as f:
+        assert len(json.load(f)["segment_batches"]) == 4
+
+    out = merge_small_batches(spark, d, keep=2)
+    assert out["merged_batches"] == 3 and out["batches"] == 2
+    with open(os.path.join(d, "stats", "global.json")) as f:
+        live = json.load(f)["segment_batches"]
+    assert len(live) == 2
+    on_disk = {x for x in os.listdir(os.path.join(d, "segments"))
+               if x.startswith("batch=")}
+    assert on_disk == set(live)          # replaced dirs swept
+
+    s_after = Searcher(spark, d)
+    for q in QUERIES:
+        assert s_after.search_local(q, 10) == before[q], q
+    assert merge_small_batches(spark, d, keep=2)["merged_batches"] == 0
