@@ -215,6 +215,50 @@ def _bm25_wand_batch(spark: SparkSession, sf_dir: str,
             .orderBy("query", F.col("score").desc(), F.col("doc_id").asc()))
 
 
+#: ES query-DSL parity specs (round 5): bool / phrase / prefix
+BOOL_SPEC = dict(must="spark", should="join table", must_not="vector", k=10)
+PHRASE_SPEC = ("hash value", 10)
+PREFIX_SPEC = ("s", 4, 10)  # (prefix, max_expansions, k)
+
+
+def _bm25_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean engine path (Searcher.search_bool): must-conjunction +
+    should-scoring + must_not-exclusion resolved per shard from the
+    decoded postings, scored by the same WAND/TAAT kernels."""
+    s = _get_searcher(spark, sf_dir)
+    out = s.search_bool(must=BOOL_SPEC["must"], should=BOOL_SPEC["should"],
+                        must_not=BOOL_SPEC["must_not"], k=BOOL_SPEC["k"],
+                        mode="distributed", round_dp=SCORE_DP)
+    return (out.select("doc_id", F.round("score", SCORE_DP).alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+
+
+def _bm25_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase engine path (Searcher.search_phrase): conjunctive candidates
+    from the postings, adjacency verified JVM-side against the corpus
+    content via the SQL tokenizer twin (the shared index stores no
+    content, so the corpus table is passed as content_df)."""
+    s = _get_searcher(spark, sf_dir)
+    content = _docs(spark, sf_dir).select(
+        "doc_id", F.col("text").alias("content"))
+    phrase, k = PHRASE_SPEC
+    out = s.search_phrase(phrase, k=k, round_dp=SCORE_DP,
+                          content_df=content)
+    return (out.select("doc_id", F.round("score", SCORE_DP).alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+
+
+def _bm25_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix engine path (Searcher.search_prefix): capped dictionary
+    expansion (df desc, term asc) scored as a disjunction."""
+    s = _get_searcher(spark, sf_dir)
+    prefix, max_exp, k = PREFIX_SPEC
+    out = s.search_prefix(prefix, k=k, max_expansions=max_exp,
+                          mode="distributed", round_dp=SCORE_DP)
+    return (out.select("doc_id", F.round("score", SCORE_DP).alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+
+
 def _bm25_sql(query: str, k: int, lang: str | None = None) -> str:
     terms = list(dict.fromkeys(tokenize_py(query, "code")))
     vals = ", ".join(f"('{t}')" for t in terms)
@@ -247,6 +291,102 @@ SELECT doc_id, ROUND(s, {SCORE_DP}) AS score FROM scored
 WHERE 1=1 {lang_clause}
 ORDER BY ROUND(s, {SCORE_DP}) DESC, doc_id LIMIT {k}
 """
+
+
+def _bm25_scaffold() -> str:
+    """Shared CTE prefix: tokenize → tf → dl → corpus stats."""
+    toks = duckdb_tokens_expr("text", "code")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, avg(dl) AS avgdl FROM dl
+)"""
+
+
+def _bm25_score_tail(k: int, extra_where: str = "") -> str:
+    """Shared scoring tail over CTEs ``m`` (matched tf rows) + scaffold."""
+    return f""", idf AS (
+  SELECT term, ln(1.0 + (stats.n - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+  FROM m CROSS JOIN stats GROUP BY term, stats.n
+), scored AS (
+  SELECT m.doc_id,
+         sum(idf.idf * (m.tf * ({K1} + 1.0))
+             / (m.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl))) AS s
+  FROM m JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY m.doc_id
+)
+SELECT doc_id, ROUND(s, {SCORE_DP}) AS score FROM scored
+WHERE 1=1 {extra_where}
+ORDER BY ROUND(s, {SCORE_DP}) DESC, doc_id LIMIT {k}
+"""
+
+
+def _bool_sql(must: str, should: str, must_not: str, k: int) -> str:
+    """DuckDB twin of Searcher.search_bool: must = conjunctive gate (all
+    tokens), must_not = exclusion, score = BM25 over must+should tokens."""
+    m = list(dict.fromkeys(tokenize_py(must or "", "code")))
+    s = list(dict.fromkeys(tokenize_py(should or "", "code")))
+    mn = list(dict.fromkeys(tokenize_py(must_not or "", "code")))
+    m = [t for t in m if t not in set(mn)]
+    s = [t for t in s if t not in set(mn)]
+    scoring = list(dict.fromkeys(m + s))
+    vals = ", ".join(f"('{t}')" for t in scoring)
+    mvals = ", ".join(f"('{t}')" for t in m)
+    nvals = ", ".join(f"('{t}')" for t in mn)
+    where = ""
+    body = f""", q(term) AS (VALUES {vals}),
+m AS (SELECT tf.* FROM tf WHERE term IN (SELECT term FROM q))"""
+    if m:
+        body += f""", mq(term) AS (VALUES {mvals}),
+cand AS (
+  SELECT doc_id FROM tf WHERE term IN (SELECT term FROM mq)
+  GROUP BY doc_id HAVING count(DISTINCT term) = {len(m)}
+)"""
+        where += " AND doc_id IN (SELECT doc_id FROM cand)"
+    if mn:
+        body += f""", nq(term) AS (VALUES {nvals}),
+excl AS (SELECT DISTINCT doc_id FROM tf
+         WHERE term IN (SELECT term FROM nq))"""
+        where += " AND doc_id NOT IN (SELECT doc_id FROM excl)"
+    return _bm25_scaffold() + body + _bm25_score_tail(k, where)
+
+
+def _phrase_sql(phrase: str, k: int) -> str:
+    """DuckDB twin of Searcher.search_phrase: adjacency via a contiguous-
+    subsequence check on the space-joined analyzed token stream; score =
+    BM25 over the phrase's distinct terms (full-document tf)."""
+    toks = tokenize_py(phrase, "code")
+    uniq = list(dict.fromkeys(toks))
+    vals = ", ".join(f"('{t}')" for t in uniq)
+    needle = " " + " ".join(toks) + " "
+    toks_expr = duckdb_tokens_expr("text", "code")
+    body = f""", q(term) AS (VALUES {vals}),
+m AS (SELECT tf.* FROM tf WHERE term IN (SELECT term FROM q)),
+ph AS (
+  SELECT doc_id FROM documents
+  WHERE contains(' ' || array_to_string({toks_expr}, ' ') || ' ',
+                 '{needle}')
+)"""
+    return (_bm25_scaffold() + body
+            + _bm25_score_tail(k, " AND doc_id IN (SELECT doc_id FROM ph)"))
+
+
+def _prefix_sql(prefix: str, max_expansions: int, k: int) -> str:
+    """DuckDB twin of Searcher.search_prefix: expansion = terms LIKE
+    'prefix%' ordered (df desc, term asc) capped at max_expansions, scored
+    as a disjunction with per-term idf."""
+    body = f""", dft AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), exp AS (
+  SELECT term FROM dft WHERE term LIKE '{prefix}%'
+  ORDER BY df DESC, term LIMIT {max_expansions}
+), m AS (SELECT tf.* FROM tf WHERE term IN (SELECT term FROM exp))"""
+    return _bm25_scaffold() + body + _bm25_score_tail(k)
 
 
 TOKS_SQL = duckdb_tokens_expr("text", "code")
@@ -283,6 +423,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # executor-side shard cogroup (round-5: search_many filters= parity)
     q["bm25_wand_batch_filtered"] = lambda s, d: _bm25_wand_batch(
         s, d, BATCH_FILTERED)
+    # ES query-DSL parity (round 5): bool / phrase / prefix through the
+    # engine (Searcher.search_bool / search_phrase / search_prefix)
+    q["bm25_bool"] = _bm25_bool
+    q["bm25_phrase"] = _bm25_phrase
+    q["bm25_prefix"] = _bm25_prefix
     # bm25_topk_*: the pure-DataFrame scoring twin (cross-check path).
     q["bm25_topk_multi"] = lambda s, d: _bm25(s, d, "spark join table", 10)
     q["bm25_topk_hot"] = lambda s, d: _bm25(s, d, "data", 20)
@@ -522,6 +667,10 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_wand_batch_filtered"] = " UNION ALL ".join(
         f"SELECT '{name}' AS query, * FROM ({_bm25_sql(q, k, lang=lang)})"
         for name, (q, k, lang) in BATCH_FILTERED.items())
+    o["bm25_bool"] = _bool_sql(BOOL_SPEC["must"], BOOL_SPEC["should"],
+                               BOOL_SPEC["must_not"], BOOL_SPEC["k"])
+    o["bm25_phrase"] = _phrase_sql(*PHRASE_SPEC)
+    o["bm25_prefix"] = _prefix_sql(*PREFIX_SPEC)
     o["bm25_topk_multi"] = _bm25_sql("spark join table", 10)
     o["bm25_topk_hot"] = _bm25_sql("data", 20)
     o["bm25_topk_rare_pair"] = _bm25_sql("window order fast", 15)

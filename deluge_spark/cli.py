@@ -70,11 +70,23 @@ def main(argv: list[str] | None = None) -> int:
 
     s = sub.add_parser("search")
     s.add_argument("--index", required=True)
-    s.add_argument("--query", required=True)
+    s.add_argument("--query", default=None,
+                   help="free (should) query; with --must/--must-not "
+                        "this is the bool query's should clause")
     s.add_argument("-k", type=int, default=10)
     s.add_argument("--filter", action="append", default=[],
                    help="col=value keyword filter, repeatable")
     s.add_argument("--fetch", action="store_true")
+    s.add_argument("--must", default=None,
+                   help="bool query: tokens that must ALL appear")
+    s.add_argument("--must-not", dest="must_not", default=None,
+                   help="bool query: tokens that exclude a doc")
+    s.add_argument("--phrase", default=None,
+                   help="exact-phrase query (adjacent analyzed tokens)")
+    s.add_argument("--prefix", default=None,
+                   help="prefix query (dictionary expansion, df-desc)")
+    s.add_argument("--max-expansions", type=int, default=50,
+                   help="prefix expansion cap (ES max_expansions)")
 
     sm = sub.add_parser("search-many",
                         help="evaluate a query SET in one distributed job "
@@ -216,15 +228,32 @@ def main(argv: list[str] | None = None) -> int:
 
         filters = dict(f.split("=", 1) for f in args.filter) or None
         searcher = Searcher(spark, args.index)
-        if args.fetch:
-            rows = searcher.search(args.query, args.k, filters,
-                                   fetch=True).collect()
-            for row in rows:
-                print(json.dumps(row.asDict()))
+        picked = [x for x in (args.query, args.phrase, args.prefix)
+                  if x] + [x for x in (args.must, args.must_not) if x]
+        if not picked:
+            raise SystemExit("search needs --query, --must/--must-not, "
+                             "--phrase, or --prefix")
+        if args.phrase is not None:
+            out = searcher.search_phrase(args.phrase, args.k, filters,
+                                         fetch=args.fetch)
+        elif args.prefix is not None:
+            out = searcher.search_prefix(args.prefix, args.k,
+                                         args.max_expansions, filters,
+                                         fetch=args.fetch)
+        elif args.must is not None or args.must_not is not None:
+            out = searcher.search_bool(must=args.must, should=args.query,
+                                       must_not=args.must_not, k=args.k,
+                                       filters=filters, fetch=args.fetch)
+        elif args.fetch:
+            out = searcher.search(args.query, args.k, filters, fetch=True)
         else:
             for doc_id, score in searcher.search_local(args.query, args.k,
                                                        filters):
                 print(json.dumps({"doc_id": doc_id, "score": score}))
+            out = None
+        if out is not None:
+            for row in out.collect():
+                print(json.dumps(row.asDict()))
     elif args.cmd == "search-many":
         from deluge_spark.index.search import Searcher
 

@@ -546,37 +546,21 @@ class Searcher:
         return out.orderBy("query", F.round("score", round_dp).desc(),
                            F.col("doc_id").asc())
 
-    def _distributed(self, seg: DataFrame, idfs: dict[str, float],
-                     avgdl: float, k: int, round_dp: int,
-                     filters: dict[str, str] | None) -> DataFrame:
-        """Per-shard WAND via applyInPandas, tiny global merge.
+    def _per_shard_apply(self, seg: DataFrame,
+                         filters: dict[str, str] | None,
+                         score_fn) -> DataFrame:
+        """Run ``score_fn(seg_pdf, allowed, extra_banned) -> pd.DataFrame``
+        once per shard, with keyword filters and over-cap tombstones
+        resolved EXECUTOR-SIDE — the shared scaffolding of every
+        distributed query shape (single-query WAND, boolean, phrase).
 
-        Keyword filters resolve EXECUTOR-SIDE: the filtered docs table is
-        cogrouped with the segment rows on ``shard``, so each task receives
-        exactly its shard's allowed-id set — no driver collect, no size cap
-        (the docs scan prunes to (doc_id, shard) + pushed filter predicates).
-        An over-cap tombstone set resolves executor-side the same way:
+        Keyword filters: the filtered docs table is cogrouped with the
+        segment rows on ``shard``, so each task receives exactly its
+        shard's allowed-id set — no driver collect, no size cap (the docs
+        scan prunes to (doc_id, shard) + pushed filter predicates). An
+        over-cap tombstone set resolves executor-side the same way:
         anti-joined out of the allowed set when filtering, else cogrouped
-        per shard as the banned set — never materialized on the driver.
-        """
-        sc = self.spark.sparkContext
-        b_idfs = sc.broadcast(idfs)
-        b_tomb = self._tomb_broadcast()
-        taat_cap = self.taat_cap
-
-        def _shard_wand(seg_pdf: pd.DataFrame,
-                        allowed: np.ndarray | None,
-                        extra_banned: np.ndarray | None = None
-                        ) -> pd.DataFrame:
-            rows = seg_pdf.to_dict("records")
-            banned = (b_tomb.value if b_tomb is not None
-                      else extra_banned)
-            top = _score_shard_rows(rows, b_idfs.value, avgdl, k,
-                                    round_dp, allowed, banned, taat_cap)
-            return pd.DataFrame(
-                {"doc_id": [d for d, _ in top],
-                 "score": [s for _, s in top]})
-
+        per shard as the banned set — never materialized on the driver."""
         if filters:
             docs = (self.spark.read.parquet(self._docs_path)
                     .filter(self._filter_cond(filters))
@@ -591,12 +575,12 @@ class Searcher:
                     return pd.DataFrame({"doc_id": [], "score": []})
                 allowed = np.sort(
                     ids_pdf["doc_id"].to_numpy(dtype=np.int64, copy=False))
-                return _shard_wand(seg_pdf, allowed)
+                return score_fn(seg_pdf, allowed, None)
 
-            per_shard = (seg.groupBy("shard")
-                         .cogroup(docs.groupBy("shard"))
-                         .applyInPandas(_cogrouped, schema=RESULT_SCHEMA))
-        elif self._tomb_oversize:
+            return (seg.groupBy("shard")
+                    .cogroup(docs.groupBy("shard"))
+                    .applyInPandas(_cogrouped, schema=RESULT_SCHEMA))
+        if self._tomb_oversize:
             tomb = (self._tombstones_df()
                     .withColumn("shard",
                                 F.pmod(F.col("doc_id"),
@@ -609,19 +593,382 @@ class Searcher:
                     return pd.DataFrame({"doc_id": [], "score": []})
                 banned = np.sort(
                     tomb_pdf["doc_id"].to_numpy(dtype=np.int64, copy=False))
-                return _shard_wand(seg_pdf, None, banned)
+                return score_fn(seg_pdf, None, banned)
 
-            per_shard = (seg.groupBy("shard")
-                         .cogroup(tomb.groupBy("shard"))
-                         .applyInPandas(_cogrouped_banned,
-                                        schema=RESULT_SCHEMA))
-        else:
-            per_shard = seg.groupBy("shard").applyInPandas(
-                lambda pdf: _shard_wand(pdf, None), schema=RESULT_SCHEMA)
+            return (seg.groupBy("shard")
+                    .cogroup(tomb.groupBy("shard"))
+                    .applyInPandas(_cogrouped_banned,
+                                   schema=RESULT_SCHEMA))
+        return seg.groupBy("shard").applyInPandas(
+            lambda pdf: score_fn(pdf, None, None), schema=RESULT_SCHEMA)
+
+    def _distributed(self, seg: DataFrame, idfs: dict[str, float],
+                     avgdl: float, k: int, round_dp: int,
+                     filters: dict[str, str] | None) -> DataFrame:
+        """Per-shard WAND via applyInPandas, tiny global merge (see
+        ``_per_shard_apply`` for how filters/tombstones resolve)."""
+        sc = self.spark.sparkContext
+        b_idfs = sc.broadcast(idfs)
+        b_tomb = self._tomb_broadcast()
+        taat_cap = self.taat_cap
+
+        def _shard_wand(seg_pdf: pd.DataFrame,
+                        allowed: np.ndarray | None,
+                        extra_banned: np.ndarray | None
+                        ) -> pd.DataFrame:
+            rows = seg_pdf.to_dict("records")
+            banned = (b_tomb.value if b_tomb is not None
+                      else extra_banned)
+            top = _score_shard_rows(rows, b_idfs.value, avgdl, k,
+                                    round_dp, allowed, banned, taat_cap)
+            return pd.DataFrame(
+                {"doc_id": [d for d, _ in top],
+                 "score": [s for _, s in top]})
+
+        per_shard = self._per_shard_apply(seg, filters, _shard_wand)
         return (per_shard
                 .orderBy(F.round("score", round_dp).desc(),
                          F.col("doc_id").asc())
                 .limit(k))
+
+    # -- boolean / phrase / prefix queries (ES query-DSL parity) ----------
+    def _norm_clause(self, clause) -> list[str]:
+        """A bool-query clause → ordered distinct token list. Strings run
+        through the index's analyzer (ES ``match`` semantics); lists are
+        taken as pre-analyzed terms verbatim (ES ``terms`` semantics —
+        the prefix path feeds its expansions through here)."""
+        if clause is None:
+            return []
+        if isinstance(clause, str):
+            return list(dict.fromkeys(tokenize_py(clause, self.mode)))
+        return list(dict.fromkeys(clause))
+
+    @staticmethod
+    def _union_docs(rows_by_term: dict[str, list[dict]],
+                    terms: list[str]) -> np.ndarray:
+        """Sorted unique doc_ids appearing in ANY of ``terms``' posting
+        lists (vectorized whole-list decode; a term split across segment
+        batches unions its batches)."""
+        from deluge_spark.index.codec import decode_postings
+
+        arrs = [decode_postings(r)[0]
+                for t in terms for r in rows_by_term.get(t, [])]
+        if not arrs:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(arrs))
+
+    @classmethod
+    def _bool_sets(cls, rows: list[dict], must: list[str],
+                   must_not: list[str],
+                   allowed: np.ndarray | None,
+                   banned: np.ndarray | None
+                   ) -> tuple[np.ndarray | None, np.ndarray | None, bool]:
+        """Resolve a bool query's candidate/exclusion sets against one
+        scope's segment rows (a shard in distributed mode, the whole index
+        in coordinator mode — doc_ids are shard-partitioned, so per-shard
+        resolution is complete). Returns (allowed, banned, dead): the
+        must-conjunction intersected into ``allowed``, must_not unioned
+        into ``banned``; ``dead`` short-circuits an empty conjunction."""
+        by_term: dict[str, list[dict]] = {}
+        for r in rows:
+            by_term.setdefault(r["term"], []).append(r)
+        for t in must:
+            dt = cls._union_docs(by_term, [t])
+            allowed = dt if allowed is None else np.intersect1d(
+                allowed, dt, assume_unique=True)
+            if not len(allowed):
+                return allowed, banned, True
+        if must_not:
+            mb = cls._union_docs(by_term, must_not)
+            if len(mb):
+                banned = mb if banned is None else np.union1d(banned, mb)
+        return allowed, banned, False
+
+    def _bool_terms(self, must, should, must_not):
+        """Shared clause normalization + dictionary lookup for the bool
+        paths. Returns (must, should, must_not token lists, dfs over all
+        present involved terms, idfs over scoring terms) — or None when
+        the query provably matches nothing (a must term absent from the
+        dictionary, ES conjunction semantics)."""
+        m = self._norm_clause(must)
+        s = self._norm_clause(should)
+        mn = set(self._norm_clause(must_not))
+        if not m and not s:
+            raise ValueError("bool query needs at least one must or "
+                             "should clause (must_not alone matches "
+                             "nothing scorable)")
+        # a term in must/should AND must_not can never contribute: the doc
+        # would be excluded — drop it from scoring (ES resolves identically)
+        m = [t for t in m if t not in mn]
+        s = [t for t in s if t not in mn]
+        if isinstance(must, (str, list)) and self._norm_clause(must) and not m:
+            return None  # every must term is also excluded → matches nothing
+        involved = list(dict.fromkeys(m + s + list(mn)))
+        dfs = self._term_dfs(involved)
+        if any(t not in dfs for t in m):
+            return None  # unknown must term → empty conjunction
+        scoring = [t for t in m + s if t in dfs]
+        if not scoring:
+            return None
+        n = self.stats["n_docs"]
+        idfs = {t: idf(n, dfs[t]) for t in scoring}
+        return m, scoring, sorted(t for t in mn if t in dfs), dfs, idfs
+
+    def search_bool_local(self, must=None, should=None, must_not=None,
+                          k: int = 10,
+                          filters: dict[str, str] | None = None,
+                          round_dp: int = 9) -> list[tuple[int, float]]:
+        """Coordinator-mode boolean search (ES ``bool`` query semantics):
+        docs must contain EVERY ``must`` token, may contain ``should``
+        tokens (both contribute BM25 score), and are excluded if they
+        contain ANY ``must_not`` token. Scores are plain BM25 sums over
+        the matched must+should terms — exclusion never changes survivor
+        scores (ES/Lucene semantics, same contract as tombstones).
+
+        Clauses are strings (analyzed) or pre-analyzed token lists. Cost:
+        beyond scoring, the must/must_not posting lists are decoded once
+        to resolve the candidate sets — O(Σ df) over those clauses, the
+        same work ES does for its filter/exclusion contexts."""
+        if self._tomb_oversize:
+            raise TombstonesTooLarge(
+                "tombstone set exceeds tombstone_driver_cap — use "
+                "mode='distributed' or purge_deleted()")
+        bt = self._bool_terms(must, should, must_not)
+        if bt is None:
+            return []
+        m, scoring, mn, dfs, idfs = bt
+        avgdl = float(self.stats["avgdl"])
+        allowed = self._allowed_ids(filters)
+        rows = self._fetch_term_rows(list(dict.fromkeys(
+            m + scoring + mn)))
+        allowed, banned, dead = self._bool_sets(
+            rows, m, mn, allowed, self._tombstones)
+        if dead:
+            return []
+        srows = [r for r in rows if r["term"] in set(scoring)]
+        if sum(dfs[t] for t in scoring) <= self.taat_cap:
+            return taat_top_k(srows, idfs, avgdl, k, round_dp, allowed,
+                              banned)
+        by_shard: dict[int, list[dict]] = {}
+        for r in srows:
+            by_shard.setdefault(int(r["shard"]), []).append(r)
+        merged: list[tuple[int, float]] = []
+        for shard_rows in by_shard.values():
+            its = [PostingIterator(r, idfs[r["term"]], avgdl)
+                   for r in shard_rows]
+            merged.extend(wand_top_k(its, k, round_dp, allowed, banned))
+        merged.sort(key=lambda x: (-round(x[1], round_dp), x[0]))
+        return merged[:k]
+
+    def _distributed_bool(self, seg: DataFrame, idfs: dict[str, float],
+                          scoring: list[str], must: list[str],
+                          must_not: list[str], avgdl: float, k: int,
+                          round_dp: int,
+                          filters: dict[str, str] | None,
+                          exhaustive: bool = False) -> DataFrame:
+        """Distributed bool execution: per-shard candidate-set resolution
+        (conjunction/exclusion over decoded postings) + scoring in ONE
+        applyInPandas pass — posting bytes never leave the executors.
+        ``exhaustive=True`` returns EVERY candidate with its score (no
+        per-shard top-k) — the phrase path needs the full candidate set
+        because verification prunes it afterwards."""
+        sc = self.spark.sparkContext
+        b_idfs = sc.broadcast(idfs)
+        b_tomb = self._tomb_broadcast()
+        taat_cap = self.taat_cap
+        scoring_set = frozenset(scoring)
+
+        def _shard_bool(seg_pdf: pd.DataFrame,
+                        allowed: np.ndarray | None,
+                        extra_banned: np.ndarray | None) -> pd.DataFrame:
+            rows = seg_pdf.to_dict("records")
+            banned = (b_tomb.value if b_tomb is not None
+                      else extra_banned)
+            allowed2, banned2, dead = Searcher._bool_sets(
+                rows, must, must_not, allowed, banned)
+            if dead:
+                return pd.DataFrame({"doc_id": [], "score": []})
+            srows = [r for r in rows if r["term"] in scoring_set]
+            if exhaustive:
+                kk = (len(allowed2) if allowed2 is not None
+                      else sum(int(r["n_postings"]) for r in srows))
+                top = taat_top_k(srows, b_idfs.value, avgdl, max(kk, 1),
+                                 round_dp, allowed2, banned2)
+            else:
+                top = _score_shard_rows(srows, b_idfs.value, avgdl, k,
+                                        round_dp, allowed2, banned2,
+                                        taat_cap)
+            return pd.DataFrame(
+                {"doc_id": [d for d, _ in top],
+                 "score": [s for _, s in top]})
+
+        per_shard = self._per_shard_apply(seg, filters, _shard_bool)
+        if exhaustive:
+            return per_shard
+        return (per_shard
+                .orderBy(F.round("score", round_dp).desc(),
+                         F.col("doc_id").asc())
+                .limit(k))
+
+    def search_bool(self, must=None, should=None, must_not=None,
+                    k: int = 10,
+                    filters: dict[str, str] | None = None,
+                    mode: str = "auto", round_dp: int = 9,
+                    fetch: bool = False) -> DataFrame:
+        """Boolean top-k BM25 search → DataFrame(doc_id, score[, fields]).
+
+        ES ``bool`` query parity (B5/B7 extension): ``must`` tokens are a
+        conjunctive gate AND score; ``should`` tokens score; ``must_not``
+        tokens exclude. Keyword ``filters`` compose (the ES filter
+        context). mode='auto' picks coordinator vs distributed from the
+        dictionary like ``search`` (Σ df over ALL involved terms, since
+        must/must_not lists are decoded for set resolution)."""
+        bt = self._bool_terms(must, should, must_not)
+        if bt is None:
+            return self._empty()
+        m, scoring, mn, dfs, idfs = bt
+        avgdl = float(self.stats["avgdl"])
+        seg = self._segments().filter(
+            F.col("term").isin(list(dict.fromkeys(m + scoring + mn))))
+        auto = mode == "auto"
+        if auto:
+            mode = ("coordinator"
+                    if sum(dfs.values()) <= self.local_postings_cap
+                    else "distributed")
+        if mode not in ("coordinator", "distributed"):
+            raise ValueError(f"unknown mode: {mode}")
+        if mode == "coordinator":
+            try:
+                top = self.search_bool_local(must, should, must_not, k,
+                                             filters, round_dp)
+                out = self.spark.createDataFrame(
+                    [(int(d), float(s)) for d, s in top], RESULT_SCHEMA)
+            except (FilterTooUnselective, TombstonesTooLarge):
+                if not auto:
+                    raise
+                mode = "distributed"
+        if mode == "distributed":
+            out = self._distributed_bool(seg, idfs, scoring, m, mn,
+                                         avgdl, k, round_dp, filters)
+        if fetch:
+            out = self._fetch_fields(out)
+        return out.orderBy(F.round("score", round_dp).desc(),
+                           F.col("doc_id").asc())
+
+    def search_phrase(self, phrase: str, k: int = 10,
+                      filters: dict[str, str] | None = None,
+                      round_dp: int = 9, fetch: bool = False,
+                      content_df: DataFrame | None = None,
+                      content_col: str = "content") -> DataFrame:
+        """Exact-phrase top-k search (ES ``match_phrase``, slop 0) →
+        DataFrame(doc_id, score[, fields]).
+
+        Two distributed stages, both executor-side:
+
+        1. **Candidates**: docs containing ALL the phrase's tokens — the
+           bool conjunction over the postings (exhaustive scores, since
+           verification prunes afterwards). The index stores no
+           positions, so adjacency can't resolve here.
+        2. **Verify**: candidates join the stored ``content`` and the
+           JVM-side tokenizer twin re-analyzes ONLY those docs; adjacency
+           is a contiguous-subsequence check on the token stream
+           (space-joined contains — tokens never contain spaces). The
+           re-analyze cost is O(candidate content bytes), the classic
+           positions-free phrase plan; candidates are already conjunction
+           -pruned, so selective phrases touch few docs.
+
+        Scoring: BM25 over the phrase's distinct terms with full-document
+        tf (NOT phrase frequency — documented divergence from ES, chosen
+        so scores stay oracle-checkable in ANSI SQL). ``content_df``
+        overrides the content source (doc_id + ``content_col``) for
+        indexes built with ``store_content=False``."""
+        toks = tokenize_py(phrase, self.mode)
+        if not toks:
+            return self._empty()
+        uniq = list(dict.fromkeys(toks))
+        dfs = self._term_dfs(uniq)
+        if any(t not in dfs for t in uniq):
+            return self._empty()
+        n = self.stats["n_docs"]
+        idfs = {t: idf(n, dfs[t]) for t in uniq}
+        avgdl = float(self.stats["avgdl"])
+        seg = self._segments().filter(F.col("term").isin(uniq))
+        cand = self._distributed_bool(seg, idfs, uniq, uniq, [], avgdl,
+                                      k, round_dp, filters,
+                                      exhaustive=True)
+        if content_df is None:
+            docs = self.spark.read.parquet(self._docs_path)
+            if content_col not in docs.columns:
+                raise ValueError(
+                    "phrase verification needs stored content: the index "
+                    "was built with store_content=False — pass "
+                    "content_df=(doc_id, content) explicitly")
+            content_df = docs
+        content_df = content_df.select("doc_id", content_col)
+        from deluge_spark.operators.dedup import tokens_col
+
+        needle = " " + " ".join(toks) + " "
+        hay = F.concat(F.lit(" "),
+                       F.array_join(tokens_col(content_col, self.mode),
+                                    " "),
+                       F.lit(" "))
+        out = (cand.join(content_df, "doc_id")
+               .filter(hay.contains(needle))
+               .select("doc_id", "score"))
+        out = (out.orderBy(F.round("score", round_dp).desc(),
+                           F.col("doc_id").asc())
+               .limit(k))
+        if fetch:
+            out = self._fetch_fields(out)
+        return out.orderBy(F.round("score", round_dp).desc(),
+                           F.col("doc_id").asc())
+
+    def expand_prefix(self, prefix: str,
+                      max_expansions: int = 50) -> list[str]:
+        """Dictionary expansion for prefix queries: terms starting with
+        ``prefix`` (literal, after lowercasing), highest-df first then
+        lexicographic — ES ``max_expansions``-style deterministic cap.
+        Free from the driver-cached dictionary; one pushed-predicate
+        parquet scan of the (tiny) terms table otherwise."""
+        p = prefix.lower()
+        if not p:
+            raise ValueError("empty prefix")
+        if self._df_map is not None:
+            cand = [(t, d) for t, d in self._df_map.items()
+                    if t.startswith(p)]
+            cand.sort(key=lambda x: (-x[1], x[0]))
+            return [t for t, _ in cand[:max_expansions]]
+        rows = (self.spark.read.parquet(self._terms_path)
+                .filter(F.col("term").startswith(p))
+                .select("term", "df")
+                .orderBy(F.col("df").desc(), F.col("term").asc())
+                .limit(max_expansions).collect())
+        return [r["term"] for r in rows]
+
+    def search_prefix(self, prefix: str, k: int = 10,
+                      max_expansions: int = 50,
+                      filters: dict[str, str] | None = None,
+                      mode: str = "auto", round_dp: int = 9,
+                      fetch: bool = False) -> DataFrame:
+        """Prefix top-k search (ES ``prefix`` query with
+        ``rewrite=scoring_boolean``): expand against the dictionary
+        (df-desc, capped at ``max_expansions``), then score the expanded
+        terms as a disjunction with each term's own idf."""
+        terms = self.expand_prefix(prefix, max_expansions)
+        if not terms:
+            return self._empty()
+        return self.search_bool(should=terms, k=k, filters=filters,
+                                mode=mode, round_dp=round_dp, fetch=fetch)
+
+    def _fetch_fields(self, out: DataFrame) -> DataFrame:
+        """B6 stored-field fetch: broadcast semi-join of the doc fields
+        onto a (small) result frame."""
+        docs = self.spark.read.parquet(self._docs_path)
+        cols = [c for c in ("repo", "path", "commit", "lang", "doc_len")
+                if c in docs.columns]
+        return out.join(F.broadcast(docs.select("doc_id", *cols)
+                                    .join(out.select("doc_id"), "doc_id",
+                                          "left_semi")), "doc_id")
 
     def search_dataframe(self, query: str, k: int = 10,
                          filters: dict[str, str] | None = None,
