@@ -751,16 +751,23 @@ def _merge_partials_reencode(partials: DataFrame) -> DataFrame:
     return grouped.mapInArrow(_reenc, schema=SEGMENT_SCHEMA)
 
 
-def tf_from_segments(spark: SparkSession, index_dir: str) -> DataFrame:
+def tf_from_segments(spark: SparkSession, index_dir: str,
+                     terms: list[str] | None = None) -> DataFrame:
     """Reconstruct the long-form (doc_id, term, tf, dl) table by decoding
     segments — the input for the DataFrame-scoring cross-check path and for
     re-index migrations (replaces persisted tf checkpoints, which the
-    partials build no longer writes)."""
+    partials build no longer writes).
+
+    ``terms`` restricts the decode to those terms' segment rows (parquet
+    predicate pushdown on ``term``) — the facet path decodes only a
+    query's matched postings, never the whole index."""
     import pyarrow as pa
 
     seg = read_segments(spark, index_dir).select(
         "term", "block_first", "block_last", "block_count", "block_off",
         "data")
+    if terms is not None:
+        seg = seg.filter(F.col("term").isin(list(terms)))
 
     def _dec(it):
         from deluge_spark.index.codec import varint_decode

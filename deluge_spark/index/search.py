@@ -960,6 +960,76 @@ class Searcher:
         return self.search_bool(should=terms, k=k, filters=filters,
                                 mode=mode, round_dp=round_dp, fetch=fetch)
 
+    # -- aggregations over the match set (ES aggs parity) -----------------
+    def _match_ids(self, query: str,
+                   filters: dict[str, str] | None = None
+                   ) -> DataFrame | None:
+        """Distinct doc_ids matching ANY of the query's analyzed terms —
+        the ES query-context match SET (not top-k). Decodes only the
+        matched terms' postings (pushed ``term`` predicate on the segment
+        scan, vectorized whole-batch decode), applies keyword filters via
+        a semi-join, and anti-joins the open-time tombstone snapshot.
+        Returns None for a query with no known terms."""
+        from deluge_spark.index.build import tf_from_segments
+
+        terms = list(dict.fromkeys(tokenize_py(query, self.mode)))
+        terms = [t for t in self._term_dfs(terms)]
+        if not terms:
+            return None
+        ids = (tf_from_segments(self.spark, self.index_dir, terms=terms)
+               .select("doc_id").distinct())
+        if filters:
+            docs = self.spark.read.parquet(self._docs_path)
+            ids = ids.join(docs.filter(self._filter_cond(filters))
+                           .select("doc_id"), "doc_id", "left_semi")
+        tomb = self._tombstones_df()
+        if tomb is not None:
+            ids = ids.join(tomb, "doc_id", "left_anti")
+        return ids
+
+    def facet_terms(self, query: str, by: str = "lang", size: int = 10,
+                    filters: dict[str, str] | None = None) -> DataFrame:
+        """ES ``terms`` aggregation: matching-doc counts per value of a
+        stored keyword field → DataFrame(value, n_docs), count desc then
+        value asc, top ``size``. Counts cover the WHOLE match set (every
+        doc containing ≥1 query term), not the top-k — one distributed
+        plan: pushed-predicate postings decode → distinct ids → semi-join
+        facet column → hash aggregate. All exact, no sketching."""
+        ids = self._match_ids(query, filters)
+        if ids is None:
+            return self.spark.createDataFrame(
+                [], "value string, n_docs long")
+        docs = self.spark.read.parquet(self._docs_path)
+        return (docs.select("doc_id", F.col(by).cast("string")
+                            .alias("value"))
+                .join(ids, "doc_id", "left_semi")
+                .groupBy("value")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+                .orderBy(F.col("n_docs").desc(), F.col("value").asc())
+                .limit(size))
+
+    def facet_histogram(self, query: str, interval: int,
+                        filters: dict[str, str] | None = None
+                        ) -> DataFrame:
+        """ES ``histogram`` aggregation over document length: bucket =
+        floor(dl / interval) * interval over the match set →
+        DataFrame(bucket, n_docs) ordered by bucket. dl comes from the
+        per-doc meta table (no re-tokenize)."""
+        if interval <= 0:
+            raise ValueError("interval must be positive")
+        ids = self._match_ids(query, filters)
+        if ids is None:
+            return self.spark.createDataFrame(
+                [], "bucket long, n_docs long")
+        meta = self.spark.read.parquet(self._meta_path)
+        return (meta.select("doc_id",
+                            (F.floor(F.col("dl") / interval)
+                             * interval).cast("long").alias("bucket"))
+                .join(ids, "doc_id", "left_semi")
+                .groupBy("bucket")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+                .orderBy(F.col("bucket").asc()))
+
     def _fetch_fields(self, out: DataFrame) -> DataFrame:
         """B6 stored-field fetch: broadcast semi-join of the doc fields
         onto a (small) result frame."""

@@ -309,6 +309,72 @@ def test_cli_bool_phrase_prefix(spark, bp_idx, oracle, doc_tokens):
     assert 0 < len(hits) <= 5
 
 
+def brute_facet_terms(oracle, bp_docs, query, size=10, allowed_ids=None):
+    terms = [t for t in _norm(query) if oracle.df.get(t)]
+    if not terms:
+        return []
+    from collections import Counter
+    c = Counter()
+    for doc_id, tf in oracle.tf.items():
+        if allowed_ids is not None and doc_id not in allowed_ids:
+            continue
+        if any(t in tf for t in terms):
+            c[bp_docs[doc_id][1]] += 1
+    out = sorted(c.items(), key=lambda x: (-x[1], x[0]))
+    return out[:size]
+
+
+def test_facet_terms_matches_bruteforce(spark, bp_idx, oracle, bp_docs):
+    s = Searcher(spark, bp_idx)
+    for q in ("import return", "data", "zzzabsentterm"):
+        want = brute_facet_terms(oracle, bp_docs, q)
+        got = [(r["value"], r["n_docs"])
+               for r in s.facet_terms(q, by="lang").collect()]
+        assert got == want, q
+    # filters compose: facet within one lang = that lang's own count
+    lang = next(iter(bp_docs.values()))[1]
+    allowed = {d for d, (_, lg) in bp_docs.items() if lg == lang}
+    want = brute_facet_terms(oracle, bp_docs, "import return",
+                             allowed_ids=allowed)
+    got = [(r["value"], r["n_docs"]) for r in
+           s.facet_terms("import return", by="lang",
+                         filters={"lang": lang}).collect()]
+    assert got == want
+
+
+def test_facet_histogram_matches_bruteforce(spark, bp_idx, oracle):
+    s = Searcher(spark, bp_idx)
+    from collections import Counter
+    terms = [t for t in _norm("import return") if oracle.df.get(t)]
+    c = Counter()
+    for doc_id, tf in oracle.tf.items():
+        if any(t in tf for t in terms):
+            c[(oracle.dl[doc_id] // 50) * 50] += 1
+    want = sorted(c.items())
+    got = [(r["bucket"], r["n_docs"]) for r in
+           s.facet_histogram("import return", interval=50).collect()]
+    assert got == want
+    with pytest.raises(ValueError, match="interval"):
+        s.facet_histogram("import", interval=0)
+
+
+def test_facet_respects_tombstones(spark, corpus_df, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("bp_facet_del"))
+    build_index(spark, corpus_df, d,
+                BuildConfig(num_shards=2, tokenize_groups=1,
+                            shard_batches=1))
+    s = Searcher(spark, d)
+    before = {r["value"]: r["n_docs"]
+              for r in s.facet_terms("import", by="lang").collect()}
+    victim = s.search_local("import", 1)[0][0]
+    vlang = spark.read.parquet(f"{d}/docs").filter(
+        F.col("doc_id") == victim).collect()[0]["lang"]
+    delete_docs(spark, d, doc_ids=[victim])
+    after = {r["value"]: r["n_docs"] for r in
+             Searcher(spark, d).facet_terms("import", by="lang").collect()}
+    assert after[vlang] == before[vlang] - 1
+
+
 def test_bool_fetch_fields(spark, bp_idx):
     s = Searcher(spark, bp_idx)
     out = s.search_bool(must="import", should="return", k=5, fetch=True)
