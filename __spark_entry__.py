@@ -259,6 +259,34 @@ def _bm25_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("score").desc(), F.col("doc_id").asc()))
 
 
+#: facet aggregation specs (round 5): ES aggs parity over the match set
+FACET_QUERY = "spark join table"
+FACET_HIST_INTERVAL = 64
+
+
+def _facet_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine facet path (Searcher.facet_terms): matching-doc counts per
+    stored keyword value over the WHOLE match set (any analyzed query term
+    present), not the top-k — pushed term-predicate segment decode →
+    distinct doc_ids → semi-join stored fields → hash aggregate."""
+    s = _get_searcher(spark, sf_dir)
+    return s.facet_terms(FACET_QUERY, by="lang", size=10)
+
+
+def _facet_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """facet_terms over the repo (= documents.source) stored field for a
+    hot single-term query — exercises a wider-cardinality group key."""
+    s = _get_searcher(spark, sf_dir)
+    return s.facet_terms("data", by="repo", size=8)
+
+
+def _facet_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine histogram facet (Searcher.facet_histogram): doc-length
+    buckets of the match set, dl from the per-doc meta table."""
+    s = _get_searcher(spark, sf_dir)
+    return s.facet_histogram(FACET_QUERY, interval=FACET_HIST_INTERVAL)
+
+
 def _bm25_sql(query: str, k: int, lang: str | None = None) -> str:
     terms = list(dict.fromkeys(tokenize_py(query, "code")))
     vals = ", ".join(f"('{t}')" for t in terms)
@@ -393,6 +421,36 @@ TOKS_SQL = duckdb_tokens_expr("text", "code")
 SIMPLE_TOKS_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
 
+def _match_ids_sql(query: str) -> str:
+    """Shared CTE: distinct doc_ids containing ANY analyzed query term —
+    the DuckDB twin of Searcher._match_ids (query-context match set)."""
+    terms = list(dict.fromkeys(tokenize_py(query, "code")))
+    vals = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({TOKS_SQL}) AS term FROM documents),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ({vals}))"""
+
+
+def _facet_terms_sql(query: str, by: str, size: int) -> str:
+    """DuckDB twin of Searcher.facet_terms (``by`` is the documents-table
+    column backing the stored field)."""
+    return _match_ids_sql(query) + f"""
+SELECT CAST({by} AS VARCHAR) AS value, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents WHERE doc_id IN (SELECT doc_id FROM m)
+GROUP BY 1 ORDER BY n_docs DESC, value LIMIT {size}"""
+
+
+def _facet_hist_sql(query: str, interval: int) -> str:
+    """DuckDB twin of Searcher.facet_histogram: dl = analyzed token count
+    per doc, bucket = floor(dl / interval) * interval."""
+    return _match_ids_sql(query) + f""",
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1)
+SELECT CAST(CAST(floor(dl.dl / {interval}.0) AS BIGINT) * {interval} AS BIGINT)
+         AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM dl JOIN m USING (doc_id) GROUP BY 1 ORDER BY bucket"""
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -428,6 +486,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_bool"] = _bm25_bool
     q["bm25_phrase"] = _bm25_phrase
     q["bm25_prefix"] = _bm25_prefix
+    # ES aggregations parity (round 5): facets over the full match set
+    # through the engine (Searcher.facet_terms / facet_histogram)
+    q["facet_terms_lang"] = _facet_lang
+    q["facet_terms_source"] = _facet_source
+    q["facet_histogram_dl"] = _facet_hist
     # bm25_topk_*: the pure-DataFrame scoring twin (cross-check path).
     q["bm25_topk_multi"] = lambda s, d: _bm25(s, d, "spark join table", 10)
     q["bm25_topk_hot"] = lambda s, d: _bm25(s, d, "data", 20)
@@ -671,6 +734,10 @@ def oracle_sql() -> dict[str, str]:
                                BOOL_SPEC["must_not"], BOOL_SPEC["k"])
     o["bm25_phrase"] = _phrase_sql(*PHRASE_SPEC)
     o["bm25_prefix"] = _prefix_sql(*PREFIX_SPEC)
+    o["facet_terms_lang"] = _facet_terms_sql(FACET_QUERY, "lang", 10)
+    o["facet_terms_source"] = _facet_terms_sql("data", "source", 8)
+    o["facet_histogram_dl"] = _facet_hist_sql(FACET_QUERY,
+                                              FACET_HIST_INTERVAL)
     o["bm25_topk_multi"] = _bm25_sql("spark join table", 10)
     o["bm25_topk_hot"] = _bm25_sql("data", 20)
     o["bm25_topk_rare_pair"] = _bm25_sql("window order fast", 15)
