@@ -166,12 +166,17 @@ def _get_searcher(spark: SparkSession, sf_dir: str):
 
 
 def _bm25_wand(spark: SparkSession, sf_dir: str, query: str, k: int,
-               lang: str | None = None) -> DataFrame:
+               lang: str | None = None,
+               filters: dict | None = None) -> DataFrame:
     """Engine path: distributed per-shard block-max WAND over the packed
-    segments (executor-side filter cogroup when lang is set)."""
+    segments (executor-side filter cogroup when filters are set).
+    ``filters`` takes the full Searcher spec grammar (term / terms-IN /
+    range dicts); ``lang`` is shorthand for a term filter."""
     s = _get_searcher(spark, sf_dir)
-    filters = {"lang": lang} if lang else None
-    out = s.search(query, k, filters=filters, mode="distributed",
+    flt = dict(filters or {})
+    if lang:
+        flt["lang"] = lang
+    out = s.search(query, k, filters=flt or None, mode="distributed",
                    round_dp=SCORE_DP)
     return (out.select("doc_id", F.round("score", SCORE_DP).alias("score"))
             .orderBy(F.col("score").desc(), F.col("doc_id").asc()))
@@ -287,13 +292,17 @@ def _facet_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.facet_histogram(FACET_QUERY, interval=FACET_HIST_INTERVAL)
 
 
-def _bm25_sql(query: str, k: int, lang: str | None = None) -> str:
+def _bm25_sql(query: str, k: int, lang: str | None = None,
+              where: str | None = None) -> str:
+    """``where`` is a raw SQL predicate over the documents table (the
+    DuckDB twin of a Searcher filter spec); ``lang`` is shorthand."""
     terms = list(dict.fromkeys(tokenize_py(query, "code")))
     vals = ", ".join(f"('{t}')" for t in terms)
     toks = duckdb_tokens_expr("text", "code")
+    preds = ([f"lang = '{lang}'"] if lang else []) + ([where] if where else [])
     lang_clause = (
-        f"AND doc_id IN (SELECT doc_id FROM documents WHERE lang = '{lang}')"
-        if lang else "")
+        "AND doc_id IN (SELECT doc_id FROM documents WHERE "
+        + " AND ".join(preds) + ")" if preds else "")
     return f"""
 WITH tok AS (
   SELECT doc_id, unnest({toks}) AS term FROM documents
@@ -475,6 +484,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_wand_filtered"] = lambda s, d: _bm25_wand(
         s, d, "batch value", 10, lang="en")
     q["bm25_wand_missing"] = lambda s, d: _bm25_wand(s, d, "zzzabsentterm", 10)
+    # typed filter-context parity (round 5): range + terms-IN filters
+    # resolve through the same executor-side shard cogroup as lang
+    q["bm25_wand_range"] = lambda s, d: _bm25_wand(
+        s, d, "data value", 10,
+        filters={"n_chars": {"gte": 200, "lt": 700}})
+    q["bm25_wand_terms_in"] = lambda s, d: _bm25_wand(
+        s, d, "spark table", 10, filters={"lang": ["fr", "es"]})
     # batch serving path: M queries in ONE distributed job (search_many)
     q["bm25_wand_batch"] = lambda s, d: _bm25_wand_batch(s, d)
     # mixed filtered+unfiltered batch: per-query keyword filters via the
@@ -724,6 +740,10 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_wand_rare_pair"] = _bm25_sql("window order fast", 15)
     o["bm25_wand_filtered"] = _bm25_sql("batch value", 10, lang="en")
     o["bm25_wand_missing"] = _bm25_sql("zzzabsentterm", 10)
+    o["bm25_wand_range"] = _bm25_sql(
+        "data value", 10, where="n_chars >= 200 AND n_chars < 700")
+    o["bm25_wand_terms_in"] = _bm25_sql(
+        "spark table", 10, where="lang IN ('fr', 'es')")
     o["bm25_wand_batch"] = " UNION ALL ".join(
         f"SELECT '{name}' AS query, * FROM ({_bm25_sql(q, k)})"
         for name, (q, k) in BATCH_QUERIES.items())

@@ -52,6 +52,41 @@ def _spark(cores: int | None, shuffle: int | None):
     return spark
 
 
+def _parse_filters(specs: list[str]) -> dict | None:
+    """``--filter`` grammar → Searcher filter specs: ``col=v`` term,
+    ``col=v1,v2`` terms (IN), ``col>=v`` / ``col<=v`` / ``col>v`` /
+    ``col<v`` range (repeated range bounds on one column conjoin).
+    Numeric-looking values compare as numbers."""
+    def _coerce(v: str):
+        for cast in (int, float):
+            try:
+                return cast(v)
+            except ValueError:
+                pass
+        return v
+
+    out: dict = {}
+    for f in specs:
+        for tok, op in ((">=", "gte"), ("<=", "lte"), (">", "gt"),
+                        ("<", "lt"), ("=", None)):
+            if tok in f:
+                col, val = f.split(tok, 1)
+                col = col.strip()
+                if op is None:
+                    vals = [_coerce(x) for x in val.split(",")]
+                    out[col] = vals if len(vals) > 1 else vals[0]
+                else:
+                    spec = out.setdefault(col, {})
+                    if not isinstance(spec, dict):
+                        raise SystemExit(
+                            f"--filter: can't mix = and range on {col!r}")
+                    spec[op] = _coerce(val)
+                break
+        else:
+            raise SystemExit(f"--filter: no operator in {f!r}")
+    return out or None
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="deluge_spark")
     ap.add_argument("--cores", type=int, default=None)
@@ -75,7 +110,8 @@ def main(argv: list[str] | None = None) -> int:
                         "this is the bool query's should clause")
     s.add_argument("-k", type=int, default=10)
     s.add_argument("--filter", action="append", default=[],
-                   help="col=value keyword filter, repeatable")
+                   help="repeatable: col=v (term), col=v1,v2 (terms/IN), "
+                        "col>=v col<=v col>v col<v (range)")
     s.add_argument("--fetch", action="store_true")
     s.add_argument("--must", default=None,
                    help="bool query: tokens that must ALL appear")
@@ -226,7 +262,7 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "search":
         from deluge_spark.index.search import Searcher
 
-        filters = dict(f.split("=", 1) for f in args.filter) or None
+        filters = _parse_filters(args.filter)
         searcher = Searcher(spark, args.index)
         picked = [x for x in (args.query, args.phrase, args.prefix)
                   if x] + [x for x in (args.must, args.must_not) if x]

@@ -158,6 +158,7 @@ def documents_as_corpus(spark, sf_dir: str):
         F.concat_ws("/", "source", "doc_id").alias("path"),
         F.lit(commit).alias("commit"),
         F.col("lang"),
+        F.col("n_chars"),  # typed stored field: range-filter target
         F.col("text").alias("content"),
         F.col("doc_id"),
     )

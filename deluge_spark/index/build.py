@@ -188,7 +188,11 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
     # what lets the merge stage concatenate them without re-encoding.
     docs_with_ids, n_total = assign_doc_ids(corpus, return_count=True)
     cached_corpus = docs_with_ids  # carries the cache handle; keep pre-withColumn
-    base_cols = [c for c in ("repo", "path", "commit", "lang") if c in corpus.columns]
+    # every non-content corpus column is a stored field (ES _source parity):
+    # keyword/typed filters and facets run against whatever the corpus
+    # carried, not a fixed whitelist
+    base_cols = [c for c in corpus.columns
+                 if c not in ("doc_id", "content", "shard", "content_sha256")]
     grp_step = max(1, -(-n_total // cfg.tokenize_groups))
     docs_with_ids = docs_with_ids.withColumn(
         "shard", F.pmod(F.col("doc_id"), F.lit(cfg.num_shards)).cast("int")

@@ -246,11 +246,44 @@ class Searcher:
         return {t: idf(n, d) for t, d in self._term_dfs(terms).items()}
 
     @staticmethod
-    def _filter_cond(filters: dict[str, str]):
+    def _filter_cond(filters: dict):
+        """ES-filter-context condition over stored doc fields. Each entry
+        maps field -> spec:
+
+        - scalar -> ``term`` filter (equality)
+        - list/tuple/set -> ``terms`` filter (IN)
+        - ``{"gte"/"gt"/"lte"/"lt": v, ...}`` -> ``range`` filter
+          (bounds conjoin)
+
+        Entries conjoin (ES bool.filter semantics). Everything stays a
+        Column expression, so Catalyst pushes every clause down to the
+        docs parquet scan."""
         cond = None
-        for col, val in filters.items():
-            c = F.col(col) == val
-            cond = c if cond is None else (cond & c)
+        for col, spec in filters.items():
+            c = F.col(col)
+            if isinstance(spec, dict):
+                if not spec:
+                    raise ValueError(f"empty range spec for field {col!r}")
+                e = None
+                for op, val in spec.items():
+                    if op == "gte":
+                        clause = c >= val
+                    elif op == "gt":
+                        clause = c > val
+                    elif op == "lte":
+                        clause = c <= val
+                    elif op == "lt":
+                        clause = c < val
+                    else:
+                        raise ValueError(
+                            f"unknown range operator {op!r} for {col!r} "
+                            "(expected gte/gt/lte/lt)")
+                    e = clause if e is None else (e & clause)
+            elif isinstance(spec, (list, tuple, set, frozenset)):
+                e = c.isin(list(spec))
+            else:
+                e = c == spec
+            cond = e if cond is None else (cond & e)
         return cond
 
     def _allowed_ids(self, filters: dict[str, str] | None) -> np.ndarray | None:

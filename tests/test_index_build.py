@@ -219,3 +219,54 @@ def test_taat_cap_single_source(spark, index_dir):
     assert s_def.taat_cap == S.DEFAULT_TAAT_CAP
     for q in ("import return", "getHTTPResponse"):
         assert s_wand.search_local(q, 10) == s_taat.search_local(q, 10)
+
+
+def test_typed_filters_terms_in_and_range(spark, index_dir, oracle):
+    """ES filter-context grammar: terms (IN) + range specs resolve through
+    every mode and match the brute-force oracle with the same id set."""
+    s = Searcher(spark, index_dir)
+    rows = spark.read.parquet(f"{index_dir}/docs").select(
+        "doc_id", "lang", "path").collect()
+    in_ids = {r["doc_id"] for r in rows if r["lang"] in ("go", "java")}
+    want = oracle.top_k(["import", "return"], 10, filter_ids=in_ids,
+                        round_dp=9)
+    got = s.search("import return", 10, filters={"lang": ["go", "java"]},
+                   mode="distributed").collect()
+    assert [r.doc_id for r in got] == [d for d, _ in want]
+
+    # range over a lexicographic field, conjoined with a term filter
+    rng_ids = {r["doc_id"] for r in rows
+               if r["lang"] == "python" and "src/pkg1" <= r["path"] < "src/pkg4"}
+    want = oracle.top_k(["import", "return"], 10, filter_ids=rng_ids,
+                        round_dp=9)
+    got = s.search("import return", 10,
+                   filters={"lang": "python",
+                            "path": {"gte": "src/pkg1", "lt": "src/pkg4"}},
+                   mode="distributed").collect()
+    assert [r.doc_id for r in got] == [d for d, _ in want]
+    # dataframe mode shares the same condition builder
+    got_df = s.search_dataframe(
+        "import return", 10,
+        filters={"lang": "python",
+                 "path": {"gte": "src/pkg1", "lt": "src/pkg4"}}).collect()
+    assert [r.doc_id for r in got_df] == [d for d, _ in want]
+
+    with pytest.raises(ValueError, match="empty range"):
+        Searcher._filter_cond({"path": {}})
+    with pytest.raises(ValueError, match="unknown range operator"):
+        Searcher._filter_cond({"path": {"between": 1}})
+
+
+def test_cli_filter_grammar():
+    from deluge_spark.cli import _parse_filters
+    assert _parse_filters([]) is None
+    assert _parse_filters(["lang=go"]) == {"lang": "go"}
+    assert _parse_filters(["lang=go,java"]) == {"lang": ["go", "java"]}
+    assert _parse_filters(["n_chars>=200", "n_chars<700"]) == {
+        "n_chars": {"gte": 200, "lt": 700}}
+    assert _parse_filters(["score>1.5"]) == {"score": {"gt": 1.5}}
+    import pytest as p
+    with p.raises(SystemExit):
+        _parse_filters(["lang=go", "lang>=a"])
+    with p.raises(SystemExit):
+        _parse_filters(["nonsense"])
