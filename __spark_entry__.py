@@ -292,6 +292,42 @@ def _facet_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.facet_histogram(FACET_QUERY, interval=FACET_HIST_INTERVAL)
 
 
+def _facet_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``stats`` aggregation (Searcher.facet_stats): count/min/max/
+    avg/sum of analyzed doc length over the match set — one
+    map-side-combinable aggregate, avg derived from the exact integer
+    sum so the value is partition-order independent."""
+    s = _get_searcher(spark, sf_dir)
+    return s.facet_stats(FACET_QUERY, "dl")
+
+
+def _facet_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``cardinality`` aggregation (Searcher.facet_cardinality),
+    exact mode for the oracle; the HLL++ approx mode is the 100 TB path
+    (pytest-gated against the exact count)."""
+    s = _get_searcher(spark, sf_dir)
+    return s.facet_cardinality(FACET_QUERY, "repo")
+
+
+def _sorted_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES field-sort + from/size (Searcher.search_sorted): second page
+    of the match set ordered by the n_chars stored field desc — scoring
+    skipped entirely, global top-(from+k) plan."""
+    s = _get_searcher(spark, sf_dir)
+    return s.search_sorted(FACET_QUERY, "n_chars", k=10, from_=10)
+
+
+def _fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``fuzzy`` query (Searcher.search_fuzzy): dictionary expansion
+    within 1 Levenshtein edit of the (misspelled) term, scored as a
+    disjunction with per-term idf."""
+    s = _get_searcher(spark, sf_dir)
+    out = s.search_fuzzy("valu", k=10, max_edits=1, max_expansions=50,
+                         round_dp=SCORE_DP)
+    return (out.select("doc_id", F.round("score", SCORE_DP).alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+
+
 def _bm25_sql(query: str, k: int, lang: str | None = None,
               where: str | None = None) -> str:
     """``where`` is a raw SQL predicate over the documents table (the
@@ -449,6 +485,56 @@ FROM documents WHERE doc_id IN (SELECT doc_id FROM m)
 GROUP BY 1 ORDER BY n_docs DESC, value LIMIT {size}"""
 
 
+def _facet_stats_sql(query: str) -> str:
+    """DuckDB twin of Searcher.facet_stats over dl: exact integer sum,
+    avg = sum/count rounded to 6 dp (same derivation as the engine, so
+    doubles compare byte-identical)."""
+    return _match_ids_sql(query) + """,
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(dl) AS DOUBLE) AS min_v,
+       CAST(max(dl) AS DOUBLE) AS max_v,
+       ROUND(CAST(sum(dl) AS DOUBLE) / count(*), 6) AS avg_v,
+       CAST(sum(dl) AS DOUBLE) AS sum_v
+FROM dl JOIN m USING (doc_id)"""
+
+
+def _facet_card_sql(query: str) -> str:
+    """DuckDB twin of Searcher.facet_cardinality (exact mode); repo =
+    documents.source per the corpus adapter."""
+    return _match_ids_sql(query) + """
+SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_values
+FROM documents WHERE doc_id IN (SELECT doc_id FROM m)"""
+
+
+def _sorted_sql(query: str, k: int, from_: int) -> str:
+    """DuckDB twin of Searcher.search_sorted: match set ordered by the
+    n_chars stored field desc, doc_id tiebreak, LIMIT/OFFSET paging."""
+    return _match_ids_sql(query) + f"""
+SELECT doc_id, n_chars FROM documents
+WHERE doc_id IN (SELECT doc_id FROM m)
+ORDER BY n_chars DESC, doc_id LIMIT {k} OFFSET {from_}"""
+
+
+def _fuzzy_sql(term: str, max_edits: int, max_expansions: int,
+               k: int) -> str:
+    """DuckDB twin of Searcher.search_fuzzy: expansion = dictionary terms
+    within ``max_edits`` Levenshtein edits, ordered (distance, df desc,
+    term) capped at ``max_expansions``, scored as a disjunction with
+    per-term idf — the same rewrite as the prefix twin."""
+    lo, hi = len(term) - max_edits, len(term) + max_edits
+    body = f""", dft AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), exp AS (
+  SELECT term FROM dft
+  WHERE length(term) BETWEEN {lo} AND {hi}
+    AND levenshtein(term, '{term}') <= {max_edits}
+  ORDER BY levenshtein(term, '{term}'), df DESC, term
+  LIMIT {max_expansions}
+), m AS (SELECT tf.* FROM tf WHERE term IN (SELECT term FROM exp))"""
+    return _bm25_scaffold() + body + _bm25_score_tail(k)
+
+
 def _facet_hist_sql(query: str, interval: int) -> str:
     """DuckDB twin of Searcher.facet_histogram: dl = analyzed token count
     per doc, bucket = floor(dl / interval) * interval."""
@@ -507,6 +593,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["facet_terms_lang"] = _facet_lang
     q["facet_terms_source"] = _facet_source
     q["facet_histogram_dl"] = _facet_hist
+    q["facet_stats_dl"] = _facet_stats
+    q["facet_cardinality_repo"] = _facet_card
+    # ES sort/from/size + fuzzy (round 5)
+    q["search_sorted_page2"] = _sorted_page2
+    q["bm25_fuzzy"] = _fuzzy
     # bm25_topk_*: the pure-DataFrame scoring twin (cross-check path).
     q["bm25_topk_multi"] = lambda s, d: _bm25(s, d, "spark join table", 10)
     q["bm25_topk_hot"] = lambda s, d: _bm25(s, d, "data", 20)
@@ -756,6 +847,10 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_prefix"] = _prefix_sql(*PREFIX_SPEC)
     o["facet_terms_lang"] = _facet_terms_sql(FACET_QUERY, "lang", 10)
     o["facet_terms_source"] = _facet_terms_sql("data", "source", 8)
+    o["facet_stats_dl"] = _facet_stats_sql(FACET_QUERY)
+    o["facet_cardinality_repo"] = _facet_card_sql(FACET_QUERY)
+    o["search_sorted_page2"] = _sorted_sql(FACET_QUERY, 10, 10)
+    o["bm25_fuzzy"] = _fuzzy_sql("valu", 1, 50, 10)
     o["facet_histogram_dl"] = _facet_hist_sql(FACET_QUERY,
                                               FACET_HIST_INTERVAL)
     o["bm25_topk_multi"] = _bm25_sql("spark join table", 10)

@@ -121,8 +121,42 @@ def main(argv: list[str] | None = None) -> int:
                    help="exact-phrase query (adjacent analyzed tokens)")
     s.add_argument("--prefix", default=None,
                    help="prefix query (dictionary expansion, df-desc)")
+    s.add_argument("--fuzzy", default=None,
+                   help="fuzzy query term (dictionary expansion within "
+                        "--max-edits Levenshtein edits)")
+    s.add_argument("--max-edits", default="auto",
+                   help="fuzzy edit budget: 0/1/2 or 'auto' (ES AUTO)")
+    s.add_argument("--prefix-length", type=int, default=0,
+                   help="fuzzy: first chars pinned exact (prunes the "
+                        "dictionary scan)")
     s.add_argument("--max-expansions", type=int, default=50,
-                   help="prefix expansion cap (ES max_expansions)")
+                   help="prefix/fuzzy expansion cap (ES max_expansions)")
+    s.add_argument("--sort", default=None, metavar="FIELD",
+                   help="sort by a stored field instead of BM25 score "
+                        "(ES sort without _score; skips scoring)")
+    s.add_argument("--asc", action="store_true",
+                   help="with --sort: ascending (default descending)")
+    s.add_argument("--from", dest="from_", type=int, default=0,
+                   help="pagination offset (ES from; with -k as size)")
+
+    fa = sub.add_parser("facet",
+                        help="aggregations over the match set (ES aggs)")
+    fa.add_argument("--index", required=True)
+    fa.add_argument("--query", required=True)
+    fa.add_argument("--filter", action="append", default=[])
+    fa.add_argument("--terms", default=None, metavar="FIELD",
+                    help="terms agg: doc counts per value of FIELD")
+    fa.add_argument("--histogram", type=int, default=None,
+                    metavar="INTERVAL",
+                    help="histogram agg over doc length at INTERVAL")
+    fa.add_argument("--stats", default=None, metavar="FIELD",
+                    help="stats agg (count/min/max/avg/sum) over FIELD")
+    fa.add_argument("--cardinality", default=None, metavar="FIELD",
+                    help="cardinality agg: distinct values of FIELD")
+    fa.add_argument("--approx", action="store_true",
+                    help="with --cardinality: HyperLogLog++ estimate "
+                         "(fixed memory; the at-scale mode)")
+    fa.add_argument("--size", type=int, default=10)
 
     sm = sub.add_parser("search-many",
                         help="evaluate a query SET in one distributed job "
@@ -264,12 +298,28 @@ def main(argv: list[str] | None = None) -> int:
 
         filters = _parse_filters(args.filter)
         searcher = Searcher(spark, args.index)
-        picked = [x for x in (args.query, args.phrase, args.prefix)
-                  if x] + [x for x in (args.must, args.must_not) if x]
+        picked = [x for x in (args.query, args.phrase, args.prefix,
+                              args.fuzzy) if x] \
+            + [x for x in (args.must, args.must_not) if x]
         if not picked:
             raise SystemExit("search needs --query, --must/--must-not, "
-                             "--phrase, or --prefix")
-        if args.phrase is not None:
+                             "--phrase, --prefix, or --fuzzy")
+        if args.sort is not None:
+            if args.query is None:
+                raise SystemExit("--sort needs --query (the match set)")
+            out = searcher.search_sorted(args.query, args.sort, args.k,
+                                         ascending=args.asc,
+                                         from_=args.from_,
+                                         filters=filters,
+                                         fetch=args.fetch)
+        elif args.fuzzy is not None:
+            edits = (args.max_edits if args.max_edits == "auto"
+                     else int(args.max_edits))
+            out = searcher.search_fuzzy(args.fuzzy, args.k, edits,
+                                        args.max_expansions,
+                                        args.prefix_length, filters,
+                                        fetch=args.fetch)
+        elif args.phrase is not None:
             out = searcher.search_phrase(args.phrase, args.k, filters,
                                          fetch=args.fetch)
         elif args.prefix is not None:
@@ -290,6 +340,29 @@ def main(argv: list[str] | None = None) -> int:
         if out is not None:
             for row in out.collect():
                 print(json.dumps(row.asDict()))
+    elif args.cmd == "facet":
+        from deluge_spark.index.search import Searcher
+
+        filters = _parse_filters(args.filter)
+        searcher = Searcher(spark, args.index)
+        if args.terms is not None:
+            out = searcher.facet_terms(args.query, by=args.terms,
+                                       size=args.size, filters=filters)
+        elif args.histogram is not None:
+            out = searcher.facet_histogram(args.query, args.histogram,
+                                           filters=filters)
+        elif args.stats is not None:
+            out = searcher.facet_stats(args.query, args.stats,
+                                       filters=filters)
+        elif args.cardinality is not None:
+            out = searcher.facet_cardinality(args.query, args.cardinality,
+                                             filters=filters,
+                                             exact=not args.approx)
+        else:
+            raise SystemExit("facet needs --terms, --histogram, --stats, "
+                             "or --cardinality")
+        for row in out.collect():
+            print(json.dumps(row.asDict()))
     elif args.cmd == "search-many":
         from deluge_spark.index.search import Searcher
 

@@ -993,6 +993,105 @@ class Searcher:
         return self.search_bool(should=terms, k=k, filters=filters,
                                 mode=mode, round_dp=round_dp, fetch=fetch)
 
+    @staticmethod
+    def _auto_fuzziness(term: str) -> int:
+        """ES ``fuzziness: AUTO``: 0 edits under 3 chars, 1 for 3-5,
+        2 above."""
+        n = len(term)
+        return 0 if n < 3 else (1 if n <= 5 else 2)
+
+    @staticmethod
+    def _edit_distance(a: str, b: str, cap: int) -> int:
+        """Banded Levenshtein with early exit: returns min(distance,
+        cap + 1). O(len·cap) — the dictionary pre-filter keeps calls
+        cheap."""
+        if abs(len(a) - len(b)) > cap:
+            return cap + 1
+        if len(a) > len(b):
+            a, b = b, a
+        prev = list(range(len(a) + 1))
+        for j, cb in enumerate(b, 1):
+            cur = [j]
+            best = j
+            for i, ca in enumerate(a, 1):
+                d = min(prev[i] + 1, cur[i - 1] + 1,
+                        prev[i - 1] + (ca != cb))
+                cur.append(d)
+                best = min(best, d)
+            if best > cap:
+                return cap + 1
+            prev = cur
+        return prev[-1]
+
+    def expand_fuzzy(self, term: str, max_edits: int | str = "auto",
+                     max_expansions: int = 50,
+                     prefix_length: int = 0) -> list[str]:
+        """Dictionary expansion for fuzzy queries (ES ``fuzzy`` /
+        ``match`` with ``fuzziness``): dictionary terms within
+        ``max_edits`` Levenshtein edits of the analyzed ``term``,
+        ordered (distance asc, df desc, term asc), capped at
+        ``max_expansions``. ``prefix_length`` pins the first chars exact
+        (the ES knob that keeps the candidate set tiny at scale: a
+        pinned prefix becomes a pushed ``startswith`` predicate on the
+        terms parquet, and the length band prunes the rest before any
+        edit-distance work). ``max_edits="auto"`` is ES AUTO fuzziness.
+
+        Driver-cached dictionary → pure-Python banded DP; otherwise one
+        pushed-predicate scan of the (tiny) terms table with JVM-side
+        ``levenshtein``."""
+        q = term.lower()
+        if not q:
+            raise ValueError("empty fuzzy term")
+        e = self._auto_fuzziness(q) if max_edits == "auto" else int(max_edits)
+        if e < 0:
+            raise ValueError("max_edits must be >= 0")
+        if e == 0:
+            return [q] if self._term_dfs([q]) else []
+        pre = q[:prefix_length] if prefix_length > 0 else ""
+        lo, hi = len(q) - e, len(q) + e
+        if self._df_map is not None:
+            cand = []
+            for t, d in self._df_map.items():
+                if not (lo <= len(t) <= hi):
+                    continue
+                if pre and not t.startswith(pre):
+                    continue
+                dist = self._edit_distance(t, q, e)
+                if dist <= e:
+                    cand.append((dist, -d, t))
+            cand.sort()
+            return [t for _, _, t in cand[:max_expansions]]
+        tdf = self.spark.read.parquet(self._terms_path)
+        cond = F.length("term").between(lo, hi)
+        if pre:
+            cond = cond & F.col("term").startswith(pre)
+        rows = (tdf.filter(cond)
+                .withColumn("dist", F.levenshtein(F.col("term"), F.lit(q)))
+                .filter(F.col("dist") <= e)
+                .orderBy(F.col("dist").asc(), F.col("df").desc(),
+                         F.col("term").asc())
+                .limit(max_expansions).collect())
+        return [r["term"] for r in rows]
+
+    def search_fuzzy(self, term: str, k: int = 10,
+                     max_edits: int | str = "auto",
+                     max_expansions: int = 50, prefix_length: int = 0,
+                     filters: dict | None = None,
+                     mode: str = "auto", round_dp: int = 9,
+                     fetch: bool = False) -> DataFrame:
+        """Fuzzy top-k search (ES ``fuzzy`` query with
+        ``rewrite=scoring_boolean``): expand against the dictionary
+        within the edit budget, then score the expanded terms as a
+        disjunction with each term's own idf — the same rewrite as
+        ``search_prefix``, so the scoring path (cost-based TAAT/WAND,
+        distributed per-shard cogroup) is shared."""
+        terms = self.expand_fuzzy(term, max_edits, max_expansions,
+                                  prefix_length)
+        if not terms:
+            return self._empty()
+        return self.search_bool(should=terms, k=k, filters=filters,
+                                mode=mode, round_dp=round_dp, fetch=fetch)
+
     # -- aggregations over the match set (ES aggs parity) -----------------
     def _match_ids(self, query: str,
                    filters: dict[str, str] | None = None
@@ -1063,12 +1162,101 @@ class Searcher:
                 .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
                 .orderBy(F.col("bucket").asc()))
 
+    def _match_field(self, query: str, field: str,
+                     filters: dict | None) -> DataFrame | None:
+        """(doc_id, v) for one stored field over the match set — ``dl``
+        resolves from the per-doc meta table, everything else from the
+        docs table. Returns None when no query term is known."""
+        ids = self._match_ids(query, filters)
+        if ids is None:
+            return None
+        if field == "dl":
+            src = self.spark.read.parquet(self._meta_path)
+        else:
+            src = self.spark.read.parquet(self._docs_path)
+        return (src.select("doc_id", F.col(field).alias("v"))
+                .join(ids, "doc_id", "left_semi"))
+
+    def facet_stats(self, query: str, field: str,
+                    filters: dict | None = None,
+                    round_dp: int = 6) -> DataFrame:
+        """ES ``stats`` aggregation over a numeric stored field for the
+        match set → one row (n_docs, min_v, max_v, avg_v, sum_v). One
+        distributed plan: pushed-predicate postings decode → distinct ids
+        → semi-join the field column (column-pruned scan) → a single
+        map-side-combinable aggregate. The sum runs in the field's exact
+        integer type when integral, so avg = sum/count is deterministic
+        across partitionings (no float reduction-order drift); ``avg_v``
+        is rounded to ``round_dp``."""
+        mv = self._match_field(query, field, filters)
+        if mv is None:
+            return self.spark.createDataFrame(
+                [], "n_docs long, min_v double, max_v double, "
+                    "avg_v double, sum_v double")
+        agg = mv.agg(
+            F.count("v").cast("long").alias("n_docs"),
+            F.min("v").cast("double").alias("min_v"),
+            F.max("v").cast("double").alias("max_v"),
+            F.sum("v").alias("_sum"))
+        return agg.select(
+            "n_docs", "min_v", "max_v",
+            F.round(F.col("_sum").cast("double") / F.col("n_docs"),
+                    round_dp).alias("avg_v"),
+            F.col("_sum").cast("double").alias("sum_v"))
+
+    def facet_cardinality(self, query: str, field: str,
+                          filters: dict | None = None,
+                          exact: bool = True, rsd: float = 0.05
+                          ) -> DataFrame:
+        """ES ``cardinality`` aggregation: distinct values of a stored
+        field over the match set → one row (n_values). ``exact=True``
+        is a distinct-shuffle count (oracle-checkable); ``exact=False``
+        is HyperLogLog++ (``approx_count_distinct`` at relative error
+        ``rsd``) — fixed sketch memory per partition, merge-combinable,
+        the 100 TB path exactly as ES's own HLL cardinality."""
+        mv = self._match_field(query, field, filters)
+        if mv is None:
+            return self.spark.createDataFrame([], "n_values long")
+        c = (F.countDistinct("v") if exact
+             else F.approx_count_distinct("v", rsd))
+        return mv.agg(c.cast("long").alias("n_values"))
+
+    def search_sorted(self, query: str, sort_by: str, k: int = 10,
+                      ascending: bool = False, from_: int = 0,
+                      filters: dict | None = None,
+                      fetch: bool = False) -> DataFrame:
+        """Field-sorted search with pagination (ES ``sort`` without
+        ``_score`` + ``from``/``size``): the query selects the match set,
+        ranking is a stored field — scores are never computed, exactly
+        ES's skip-scoring fast path for field sorts. Ties break on
+        doc_id asc. Returns DataFrame(doc_id, <sort_by>).
+
+        The plan is a global top-(from+k) (Spark rewrites
+        sort+offset+limit to TakeOrderedAndProject), so cost scales with
+        the match set, not with a full corpus sort; deep paging
+        (from ≫ k) degrades like ES's — bounded by the same
+        top-(from+size) heap."""
+        if from_ < 0:
+            raise ValueError("from_ must be >= 0")
+        mv = self._match_field(query, sort_by, filters)
+        if mv is None:
+            return self.spark.createDataFrame(
+                [], f"doc_id long, {sort_by} string")
+        out = mv.select("doc_id", F.col("v").alias(sort_by))
+        key = F.col(sort_by).asc() if ascending else F.col(sort_by).desc()
+        out = (out.orderBy(key, F.col("doc_id").asc())
+               .offset(from_).limit(k))
+        if fetch:
+            out = self._fetch_fields(out)
+            out = out.orderBy(key, F.col("doc_id").asc())
+        return out
+
     def _fetch_fields(self, out: DataFrame) -> DataFrame:
         """B6 stored-field fetch: broadcast semi-join of the doc fields
         onto a (small) result frame."""
         docs = self.spark.read.parquet(self._docs_path)
         cols = [c for c in ("repo", "path", "commit", "lang", "doc_len")
-                if c in docs.columns]
+                if c in docs.columns and c not in out.columns]
         return out.join(F.broadcast(docs.select("doc_id", *cols)
                                     .join(out.select("doc_id"), "doc_id",
                                           "left_semi")), "doc_id")

@@ -187,3 +187,47 @@ def test_cli_ingest_content_col_collision(tmp_path_factory):
     assert out["n_docs"] == 12
     assert len(run("search", "--index", idx, "--query", "realtext")) > 0
     assert not run("search", "--index", idx, "--query", "decoy")
+
+
+def test_cli_fuzzy_sort_facet(spark, small_index):
+    """Round-5 search/aggs surface through the CLI: --fuzzy, --sort with
+    --from paging, and the facet subcommand — each checked against the
+    in-process API on the same index."""
+    def run(*args):
+        p = subprocess.run([sys.executable, "-m", "deluge_spark.cli",
+                            "--cores", "4", *args],
+                           capture_output=True, text=True, timeout=600,
+                           cwd="/root/repo")
+        assert p.returncode == 0, p.stderr[-2000:]
+        return [json.loads(line) for line in p.stdout.splitlines()
+                if line.startswith("{")]
+
+    s = Searcher(spark, small_index)
+    hits = run("search", "--index", small_index, "--fuzzy", "retur",
+               "--max-edits", "1", "-k", "3")
+    api = s.search_fuzzy("retur", k=3, max_edits=1).collect()
+    assert [h["doc_id"] for h in hits] == [r["doc_id"] for r in api]
+
+    rows = run("search", "--index", small_index, "--query",
+               "import return", "--sort", "path", "--asc", "-k", "5",
+               "--from", "2")
+    api = s.search_sorted("import return", "path", k=5, ascending=True,
+                          from_=2).collect()
+    assert [(r["doc_id"], r["path"]) for r in rows] \
+        == [(r["doc_id"], r["path"]) for r in api]
+
+    st = run("facet", "--index", small_index, "--query", "import return",
+             "--stats", "dl")[-1]
+    want = s.facet_stats("import return", "dl").collect()[0].asDict()
+    assert st == want
+
+    card = run("facet", "--index", small_index, "--query",
+               "import return", "--cardinality", "lang")[-1]
+    assert card["n_values"] \
+        == s.facet_cardinality("import return", "lang").collect()[0][0]
+
+    terms = run("facet", "--index", small_index, "--query",
+                "import return", "--terms", "lang", "--size", "3")
+    assert [t["value"] for t in terms] \
+        == [r["value"] for r in
+            s.facet_terms("import return", by="lang", size=3).collect()]

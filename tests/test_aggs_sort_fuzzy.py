@@ -1,0 +1,190 @@
+"""ES parity round-out: stats/cardinality aggregations, field-sorted
+search with from/size pagination, and fuzzy queries via dictionary
+expansion — each checked against an independent brute-force recompute."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from deluge_spark.functions.tokenizer import tokenize_py
+from deluge_spark.index.build import BuildConfig, build_index
+from deluge_spark.index.search import Searcher
+
+from tests.oracle import OracleIndex
+
+QUERY = "import return"
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, corpus_df, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("aggs_index"))
+    build_index(spark, corpus_df, d,
+                BuildConfig(num_shards=4, tokenize_groups=3,
+                            shard_batches=2))
+    return d
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, index_dir):
+    return Searcher(spark, index_dir)
+
+
+@pytest.fixture(scope="module")
+def oracle(spark, index_dir):
+    docs = spark.read.parquet(f"{index_dir}/docs")
+    return OracleIndex({r["doc_id"]: r["content"]
+                        for r in docs.select("doc_id", "content").collect()})
+
+
+def _match_set(oracle, query: str) -> set[int]:
+    terms = set(tokenize_py(query, "code"))
+    return {d for d, c in oracle.tf.items() if terms & set(c)}
+
+
+# -- facet_stats / facet_cardinality ----------------------------------------
+
+def test_facet_stats_matches_brute_force(searcher, oracle):
+    m = _match_set(oracle, QUERY)
+    assert m, "fixture query must match something"
+    dls = [oracle.dl[d] for d in m]
+    row = searcher.facet_stats(QUERY, "dl").collect()[0]
+    assert row["n_docs"] == len(dls)
+    assert row["min_v"] == float(min(dls))
+    assert row["max_v"] == float(max(dls))
+    assert row["sum_v"] == float(sum(dls))
+    assert row["avg_v"] == round(sum(dls) / len(dls), 6)
+
+
+def test_facet_stats_respects_filters(spark, searcher, index_dir, oracle):
+    docs = spark.read.parquet(f"{index_dir}/docs")
+    go_ids = {r["doc_id"] for r in
+              docs.filter(F.col("lang") == "go").select("doc_id").collect()}
+    m = _match_set(oracle, QUERY) & go_ids
+    row = searcher.facet_stats(QUERY, "dl",
+                               filters={"lang": "go"}).collect()[0]
+    assert row["n_docs"] == len(m)
+    assert row["sum_v"] == float(sum(oracle.dl[d] for d in m))
+
+
+def test_facet_stats_unknown_terms_empty(searcher):
+    assert searcher.facet_stats("zzzabsentterm", "dl").count() == 0
+
+
+def test_facet_cardinality_exact_and_approx(spark, searcher, index_dir,
+                                            oracle):
+    docs = spark.read.parquet(f"{index_dir}/docs")
+    m = _match_set(oracle, QUERY)
+    truth = len({r["repo"] for r in docs.select("doc_id", "repo").collect()
+                 if r["doc_id"] in m})
+    exact = searcher.facet_cardinality(QUERY, "repo").collect()[0]
+    assert exact["n_values"] == truth
+    approx = searcher.facet_cardinality(
+        QUERY, "repo", exact=False, rsd=0.05).collect()[0]
+    # HLL++ at rsd=0.05: generous 3-sigma-ish band
+    assert abs(approx["n_values"] - truth) <= max(2, int(0.2 * truth))
+
+
+# -- search_sorted (sort + from/size) ---------------------------------------
+
+def test_search_sorted_order_and_pagination(searcher, oracle):
+    m = _match_set(oracle, QUERY)
+    want = sorted(((oracle.dl[d], d) for d in m),
+                  key=lambda x: (-x[0], x[1]))
+    got = searcher.search_sorted(QUERY, "dl", k=10).collect()
+    assert [(r["dl"], r["doc_id"]) for r in got] == want[:10]
+    # ascending
+    got_asc = searcher.search_sorted(QUERY, "dl", k=5,
+                                     ascending=True).collect()
+    want_asc = sorted(((oracle.dl[d], d) for d in m))
+    assert [(r["dl"], r["doc_id"]) for r in got_asc] == want_asc[:5]
+    # two pages stitch to one double-size page
+    p1 = searcher.search_sorted(QUERY, "dl", k=5).collect()
+    p2 = searcher.search_sorted(QUERY, "dl", k=5, from_=5).collect()
+    both = searcher.search_sorted(QUERY, "dl", k=10).collect()
+    assert [r["doc_id"] for r in p1 + p2] == [r["doc_id"] for r in both]
+
+
+def test_search_sorted_string_field_filtered_fetch(spark, searcher,
+                                                   index_dir, oracle):
+    docs = spark.read.parquet(f"{index_dir}/docs")
+    rows = {r["doc_id"]: (r["path"], r["lang"])
+            for r in docs.select("doc_id", "path", "lang").collect()}
+    m = [d for d in _match_set(oracle, QUERY) if rows[d][1] == "python"]
+    want = sorted(((rows[d][0], d) for d in m))[:7]
+    got = searcher.search_sorted(QUERY, "path", k=7, ascending=True,
+                                 filters={"lang": "python"},
+                                 fetch=True).collect()
+    assert [(r["path"], r["doc_id"]) for r in got] == want
+    # fetch joined the other stored fields without duplicating sort_by
+    assert got and got[0]["lang"] == "python" and "repo" in got[0].asDict()
+
+
+def test_search_sorted_validates_from(searcher):
+    with pytest.raises(ValueError, match="from_"):
+        searcher.search_sorted(QUERY, "dl", from_=-1)
+
+
+# -- fuzzy ------------------------------------------------------------------
+
+def _brute_expand(oracle, q: str, e: int, pre: int = 0) -> dict[str, int]:
+    out = {}
+    for t, d in oracle.df.items():
+        if pre and not t.startswith(q[:pre]):
+            continue
+        if Searcher._edit_distance(t, q, e) <= e:
+            out[t] = d
+    return out
+
+
+def test_edit_distance_banded():
+    ed = Searcher._edit_distance
+    assert ed("kitten", "sitting", 3) == 3
+    assert ed("abc", "abc", 2) == 0
+    assert ed("abc", "abcd", 2) == 1
+    assert ed("abc", "xyz", 1) == 2  # capped: reports cap+1
+    assert ed("a", "abcdef", 2) == 3  # length-band early exit
+
+
+def test_auto_fuzziness():
+    af = Searcher._auto_fuzziness
+    assert af("ab") == 0 and af("abc") == 1
+    assert af("abcde") == 1 and af("abcdef") == 2
+
+
+def test_expand_fuzzy_matches_brute(searcher, oracle):
+    q = "return"
+    e = 1
+    want = _brute_expand(oracle, q, e)
+    got = searcher.expand_fuzzy(q, max_edits=e, max_expansions=10_000)
+    assert set(got) == set(want)
+    # ordering: distance asc, df desc, term asc
+    keyed = [(Searcher._edit_distance(t, q, e), -want[t], t) for t in got]
+    assert keyed == sorted(keyed)
+
+
+def test_expand_fuzzy_driver_vs_distributed(spark, index_dir, searcher):
+    cached = Searcher(spark, index_dir, cache_stats=True)
+    for q, e, p in (("return", 1, 0), ("import", 2, 1), ("valu", 1, 2)):
+        assert (cached.expand_fuzzy(q, e, 100, p)
+                == searcher.expand_fuzzy(q, e, 100, p))
+
+
+def test_expand_fuzzy_prefix_and_zero_edits(searcher, oracle):
+    got = searcher.expand_fuzzy("return", max_edits=1, prefix_length=3)
+    assert all(t.startswith("ret") for t in got)
+    assert searcher.expand_fuzzy("return", max_edits=0) == ["return"]
+    assert searcher.expand_fuzzy("zzzabsent", max_edits=0) == []
+    with pytest.raises(ValueError):
+        searcher.expand_fuzzy("")
+
+
+def test_search_fuzzy_scores_expansion_disjunction(searcher, oracle):
+    q = "retur"  # 5 chars -> AUTO = 1 edit ("return" is in range)
+    exp = searcher.expand_fuzzy(q, "auto", 50)
+    assert "return" in exp
+    got = searcher.search_fuzzy(q, k=10).collect()
+    want = searcher.search_bool(should=exp, k=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == \
+           [(r["doc_id"], r["score"]) for r in want]
+    assert searcher.search_fuzzy("zzqx", k=5).count() == 0
