@@ -317,6 +317,36 @@ def _sorted_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.search_sorted(FACET_QUERY, "n_chars", k=10, from_=10)
 
 
+#: more_like_this source doc (exists at every driver sf)
+MLT_DOC = 42
+
+
+def _highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``highlight`` (Searcher.highlight): top-k + one snippet per hit
+    around the first matched term, all string ops JVM-side over only the
+    k result docs."""
+    s = _get_searcher(spark, sf_dir)
+    out = s.highlight(FACET_QUERY, k=10, round_dp=SCORE_DP,
+                      content_df=_docs(spark, sf_dir), content_col="text")
+    return (out.select("doc_id",
+                       F.round("score", SCORE_DP).alias("score"),
+                       "snippet")
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+
+
+def _mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``more_like_this`` (Searcher.more_like_this): re-analyze one
+    stored doc, top tf·idf terms as a scored disjunction, source doc
+    excluded."""
+    s = _get_searcher(spark, sf_dir)
+    out = s.more_like_this(MLT_DOC, k=10, round_dp=SCORE_DP,
+                           content_df=_docs(spark, sf_dir),
+                           content_col="text")
+    return (out.select("doc_id",
+                       F.round("score", SCORE_DP).alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+
+
 def _fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES ``fuzzy`` query (Searcher.search_fuzzy): dictionary expansion
     within 1 Levenshtein edit of the (misspelled) term, scored as a
@@ -516,6 +546,61 @@ WHERE doc_id IN (SELECT doc_id FROM m)
 ORDER BY n_chars DESC, doc_id LIMIT {k} OFFSET {from_}"""
 
 
+def _highlight_sql(query: str, k: int, frag: int = 100) -> str:
+    """DuckDB twin of Searcher.highlight: top-k hits joined back to the
+    documents text; matched term = first analyzed query term (query
+    order) whose lowercase substring occurs; fragment = ``frag`` chars
+    starting frag/2 before the occurrence, match wrapped in <em> tags."""
+    terms = list(dict.fromkeys(tokenize_py(query, "code")))
+    whens_t = " ".join(
+        f"WHEN strpos(lower(text), '{t}') > 0 THEN '{t}'" for t in terms)
+    whens_p = " ".join(
+        f"WHEN strpos(lower(text), '{t}') > 0 "
+        f"THEN strpos(lower(text), '{t}')" for t in terms)
+    return f"""
+WITH hits AS ({_bm25_sql(query, k)}),
+j AS (
+  SELECT h.doc_id, h.score, d.text,
+         CASE {whens_t} ELSE '{terms[0]}' END AS mt,
+         CASE {whens_p} ELSE 1 END AS p
+  FROM hits h JOIN documents d USING (doc_id)
+), c AS (
+  SELECT doc_id, score, text, mt, p,
+         GREATEST(1, p - {frag // 2}) AS s
+  FROM j
+), r AS (
+  SELECT doc_id, score, mt, p - s + 1 AS rel,
+         substring(text, s, {frag}) AS raw
+  FROM c
+)
+SELECT doc_id, score,
+       substring(raw, 1, rel - 1) || '<em>'
+       || substring(raw, rel, length(mt)) || '</em>'
+       || substring(raw, rel + length(mt), {frag}) AS snippet
+FROM r ORDER BY score DESC, doc_id"""
+
+
+def _mlt_sql(doc: int, k: int, max_terms: int = 25, min_tf: int = 2,
+             min_df: int = 5) -> str:
+    """DuckDB twin of Searcher.more_like_this: source-doc terms filtered
+    by tf/df floors, ranked by tf·idf (tie: term asc), top
+    ``max_terms`` scored as a disjunction excluding the source doc."""
+    body = f""", dft AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), src AS (
+  SELECT term, tf FROM tf WHERE doc_id = {doc}
+), sel AS (
+  SELECT src.term FROM src JOIN dft USING (term) CROSS JOIN stats
+  WHERE src.tf >= {min_tf} AND dft.df >= {min_df}
+  ORDER BY src.tf * ln(1.0 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+             DESC,
+           src.term
+  LIMIT {max_terms}
+), m AS (SELECT tf.* FROM tf WHERE term IN (SELECT term FROM sel))"""
+    return _bm25_scaffold() + body + _bm25_score_tail(
+        k, f" AND doc_id != {doc}")
+
+
 def _fuzzy_sql(term: str, max_edits: int, max_expansions: int,
                k: int) -> str:
     """DuckDB twin of Searcher.search_fuzzy: expansion = dictionary terms
@@ -595,9 +680,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["facet_histogram_dl"] = _facet_hist
     q["facet_stats_dl"] = _facet_stats
     q["facet_cardinality_repo"] = _facet_card
-    # ES sort/from/size + fuzzy (round 5)
+    # ES sort/from/size + fuzzy + highlight + more_like_this (round 5)
     q["search_sorted_page2"] = _sorted_page2
     q["bm25_fuzzy"] = _fuzzy
+    q["highlight_topk"] = _highlight
+    q["more_like_this"] = _mlt
     # bm25_topk_*: the pure-DataFrame scoring twin (cross-check path).
     q["bm25_topk_multi"] = lambda s, d: _bm25(s, d, "spark join table", 10)
     q["bm25_topk_hot"] = lambda s, d: _bm25(s, d, "data", 20)
@@ -851,6 +938,8 @@ def oracle_sql() -> dict[str, str]:
     o["facet_cardinality_repo"] = _facet_card_sql(FACET_QUERY)
     o["search_sorted_page2"] = _sorted_sql(FACET_QUERY, 10, 10)
     o["bm25_fuzzy"] = _fuzzy_sql("valu", 1, 50, 10)
+    o["highlight_topk"] = _highlight_sql(FACET_QUERY, 10)
+    o["more_like_this"] = _mlt_sql(MLT_DOC, 10)
     o["facet_histogram_dl"] = _facet_hist_sql(FACET_QUERY,
                                               FACET_HIST_INTERVAL)
     o["bm25_topk_multi"] = _bm25_sql("spark join table", 10)

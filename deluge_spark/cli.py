@@ -131,6 +131,12 @@ def main(argv: list[str] | None = None) -> int:
                         "dictionary scan)")
     s.add_argument("--max-expansions", type=int, default=50,
                    help="prefix/fuzzy expansion cap (ES max_expansions)")
+    s.add_argument("--highlight", action="store_true",
+                   help="with --query: emit a snippet around the first "
+                        "matched term per hit (ES highlight)")
+    s.add_argument("--like", type=int, default=None, metavar="DOC_ID",
+                   help="more_like_this: docs similar to a stored doc "
+                        "(top tf-idf terms as a disjunction)")
     s.add_argument("--sort", default=None, metavar="FIELD",
                    help="sort by a stored field instead of BM25 score "
                         "(ES sort without _score; skips scoring)")
@@ -300,11 +306,20 @@ def main(argv: list[str] | None = None) -> int:
         searcher = Searcher(spark, args.index)
         picked = [x for x in (args.query, args.phrase, args.prefix,
                               args.fuzzy) if x] \
-            + [x for x in (args.must, args.must_not) if x]
+            + [x for x in (args.must, args.must_not) if x] \
+            + ([args.like] if args.like is not None else [])
         if not picked:
             raise SystemExit("search needs --query, --must/--must-not, "
-                             "--phrase, --prefix, or --fuzzy")
-        if args.sort is not None:
+                             "--phrase, --prefix, --fuzzy, or --like")
+        if args.like is not None:
+            out = searcher.more_like_this(args.like, args.k,
+                                          filters=filters,
+                                          fetch=args.fetch)
+        elif args.highlight:
+            if args.query is None:
+                raise SystemExit("--highlight needs --query")
+            out = searcher.highlight(args.query, args.k, filters=filters)
+        elif args.sort is not None:
             if args.query is None:
                 raise SystemExit("--sort needs --query (the match set)")
             out = searcher.search_sorted(args.query, args.sort, args.k,

@@ -929,15 +929,8 @@ class Searcher:
         cand = self._distributed_bool(seg, idfs, uniq, uniq, [], avgdl,
                                       k, round_dp, filters,
                                       exhaustive=True)
-        if content_df is None:
-            docs = self.spark.read.parquet(self._docs_path)
-            if content_col not in docs.columns:
-                raise ValueError(
-                    "phrase verification needs stored content: the index "
-                    "was built with store_content=False — pass "
-                    "content_df=(doc_id, content) explicitly")
-            content_df = docs
-        content_df = content_df.select("doc_id", content_col)
+        content_df = self._content_source(content_df, content_col,
+                                          "phrase verification")
         from deluge_spark.operators.dedup import tokens_col
 
         needle = " " + " ".join(toks) + " "
@@ -1091,6 +1084,123 @@ class Searcher:
             return self._empty()
         return self.search_bool(should=terms, k=k, filters=filters,
                                 mode=mode, round_dp=round_dp, fetch=fetch)
+
+    def _content_source(self, content_df: DataFrame | None,
+                        content_col: str, what: str) -> DataFrame:
+        """Stored-content frame (doc_id + ``content_col``) for operators
+        that must read document text; ``content_df`` overrides for
+        indexes built with ``store_content=False``."""
+        if content_df is None:
+            docs = self.spark.read.parquet(self._docs_path)
+            if content_col not in docs.columns:
+                raise ValueError(
+                    f"{what} needs stored content: the index was built "
+                    "with store_content=False — pass content_df="
+                    "(doc_id, content) explicitly")
+            content_df = docs
+        return content_df.select("doc_id", content_col)
+
+    def highlight(self, query: str, k: int = 10, frag_size: int = 100,
+                  pre_tag: str = "<em>", post_tag: str = "</em>",
+                  filters: dict | None = None, mode: str = "auto",
+                  round_dp: int = 9,
+                  content_df: DataFrame | None = None,
+                  content_col: str = "content") -> DataFrame:
+        """ES ``highlight``: top-k search, then a snippet of the stored
+        content around the matched term → DataFrame(doc_id, score,
+        snippet).
+
+        Deterministic contract (so the result is oracle-checkable in
+        ANSI SQL): the highlighted term is the FIRST term in analyzed
+        query order whose lowercase substring occurs in the lowercased
+        content (every analyzed token is a contiguous run of the
+        lowercased text, so a scoring term always occurs); the fragment
+        is ``frag_size`` chars starting ``frag_size/2`` before the first
+        occurrence (clamped to the start), with that occurrence wrapped
+        in ``pre_tag``/``post_tag``. One fragment per doc (ES
+        ``number_of_fragments: 1``).
+
+        Cost: the snippet stage touches only the k result docs — a
+        broadcast-size join against the docs table with every string op
+        JVM-side (locate/substring inside whole-stage codegen), no
+        Python UDFs."""
+        terms = list(dict.fromkeys(tokenize_py(query, self.mode)))
+        if not terms:
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double, snippet string")
+        out = self.search(query, k, filters=filters, mode=mode,
+                          round_dp=round_dp)
+        content = self._content_source(content_df, content_col,
+                                       "highlight")
+        joined = out.join(F.broadcast(
+            content.join(out.select("doc_id"), "doc_id", "left_semi")),
+            "doc_id")
+        low = F.lower(F.col(content_col))
+        matched = F.coalesce(*[F.when(F.locate(t, low) > 0, F.lit(t))
+                               for t in terms], F.lit(terms[0]))
+        pos = F.coalesce(*[F.when(F.locate(t, low) > 0, F.locate(t, low))
+                           for t in terms], F.lit(1))
+        start = F.greatest(F.lit(1), pos - F.lit(frag_size // 2))
+        rel = pos - start + F.lit(1)
+        raw = F.substring(F.col(content_col), start, F.lit(frag_size))
+        tlen = F.length(matched)
+        snippet = F.concat(
+            F.substring(raw, F.lit(1), rel - 1),
+            F.lit(pre_tag),
+            F.substring(raw, rel, tlen),
+            F.lit(post_tag),
+            F.substring(raw, rel + tlen, F.lit(frag_size)))
+        return (joined.select("doc_id", "score",
+                              snippet.alias("snippet"))
+                .orderBy(F.round("score", round_dp).desc(),
+                         F.col("doc_id").asc()))
+
+    def more_like_this(self, doc_id: int, k: int = 10,
+                       max_query_terms: int = 25, min_term_freq: int = 2,
+                       min_doc_freq: int = 5,
+                       filters: dict | None = None, mode: str = "auto",
+                       round_dp: int = 9, fetch: bool = False,
+                       content_df: DataFrame | None = None,
+                       content_col: str = "content") -> DataFrame:
+        """ES ``more_like_this`` for one stored document: re-analyze the
+        source doc (one pushed-predicate point lookup — exactly ES's
+        _source re-analysis), keep terms with tf >= ``min_term_freq``
+        and dictionary df >= ``min_doc_freq``, rank by tf·idf (tie:
+        term asc), take ``max_query_terms``, and run them as a scored
+        disjunction excluding the source doc. Defaults mirror ES
+        (max_query_terms 25, min_term_freq 2, min_doc_freq 5)."""
+        from collections import Counter
+
+        content = self._content_source(content_df, content_col,
+                                       "more_like_this")
+        row = (content.filter(F.col("doc_id") == doc_id)
+               .select(content_col).first())
+        if row is None:
+            raise ValueError(f"doc_id {doc_id} not found")
+        c = Counter(tokenize_py(row[0], self.mode))
+        dfs = self._term_dfs(list(c))
+        n = self.stats["n_docs"]
+        cand = [(-tf * idf(n, dfs[t]), t)
+                for t, tf in c.items()
+                if tf >= min_term_freq and dfs.get(t, 0) >= min_doc_freq]
+        cand.sort()
+        sel = [t for _, t in cand[:max_query_terms]]
+        if not sel:
+            return self._empty()
+        out = self.search_bool(should=sel, k=k + 1, filters=filters,
+                               mode=mode, round_dp=round_dp)
+        # top-(k+1) then drop the source = exact top-k excluding it
+        # (the ordering is a strict total order: rounded score desc,
+        # doc_id asc)
+        out = (out.filter(F.col("doc_id") != doc_id)
+               .orderBy(F.round("score", round_dp).desc(),
+                        F.col("doc_id").asc())
+               .limit(k))
+        if fetch:
+            out = self._fetch_fields(out)
+            out = out.orderBy(F.round("score", round_dp).desc(),
+                              F.col("doc_id").asc())
+        return out
 
     # -- aggregations over the match set (ES aggs parity) -----------------
     def _match_ids(self, query: str,

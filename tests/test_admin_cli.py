@@ -231,3 +231,29 @@ def test_cli_fuzzy_sort_facet(spark, small_index):
     assert [t["value"] for t in terms] \
         == [r["value"] for r in
             s.facet_terms("import return", by="lang", size=3).collect()]
+
+
+def test_cli_highlight_and_mlt(spark, small_index):
+    """--highlight and --like through the CLI, vs the in-process API."""
+    def run(*args):
+        p = subprocess.run([sys.executable, "-m", "deluge_spark.cli",
+                            "--cores", "4", *args],
+                           capture_output=True, text=True, timeout=600,
+                           cwd="/root/repo")
+        assert p.returncode == 0, p.stderr[-2000:]
+        return [json.loads(line) for line in p.stdout.splitlines()
+                if line.startswith("{")]
+
+    s = Searcher(spark, small_index)
+    hi = run("search", "--index", small_index, "--query", "import return",
+             "--highlight", "-k", "3")
+    api = s.highlight("import return", k=3).collect()
+    assert [(h["doc_id"], h["snippet"]) for h in hi] \
+        == [(r["doc_id"], r["snippet"]) for r in api]
+    assert all("<em>" in h["snippet"] for h in hi)
+
+    src = api[0]["doc_id"]
+    ml = run("search", "--index", small_index, "--like", str(src), "-k", "3")
+    api_ml = s.more_like_this(src, k=3).collect()
+    assert [m["doc_id"] for m in ml] == [r["doc_id"] for r in api_ml]
+    assert src not in [m["doc_id"] for m in ml]

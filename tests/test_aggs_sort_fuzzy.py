@@ -188,3 +188,91 @@ def test_search_fuzzy_scores_expansion_disjunction(searcher, oracle):
     assert [(r["doc_id"], r["score"]) for r in got] == \
            [(r["doc_id"], r["score"]) for r in want]
     assert searcher.search_fuzzy("zzqx", k=5).count() == 0
+
+
+# -- highlight --------------------------------------------------------------
+
+def _brute_snippet(text: str, terms: list[str], frag: int = 100,
+                   pre: str = "<em>", post: str = "</em>") -> str:
+    low = text.lower()
+    for t in terms:
+        p = low.find(t)
+        if p >= 0:
+            break
+    else:
+        t, p = terms[0], 0
+    pos = p + 1 if p >= 0 else 1
+    start = max(1, pos - frag // 2)
+    rel = pos - start + 1
+    raw = text[start - 1:start - 1 + frag]
+    tl = len(t)
+    return (raw[:rel - 1] + pre + raw[rel - 1:rel - 1 + tl] + post
+            + raw[rel - 1 + tl:rel - 1 + tl + frag])
+
+
+def test_highlight_matches_brute_force(spark, searcher, index_dir, oracle):
+    terms = list(dict.fromkeys(tokenize_py(QUERY, "code")))
+    texts = {r["doc_id"]: r["content"] for r in
+             spark.read.parquet(f"{index_dir}/docs")
+             .select("doc_id", "content").collect()}
+    got = searcher.highlight(QUERY, k=10).collect()
+    want_top = oracle.top_k(tokenize_py(QUERY, "code"), 10)
+    assert [r["doc_id"] for r in got] == [d for d, _ in want_top]
+    for r in got:
+        assert r["snippet"] == _brute_snippet(texts[r["doc_id"]], terms)
+        assert "<em>" in r["snippet"] and "</em>" in r["snippet"]
+
+
+def test_highlight_custom_tags_and_empty(searcher):
+    got = searcher.highlight(QUERY, k=3, frag_size=40, pre_tag="**",
+                             post_tag="**").collect()
+    assert got and all("**" in r["snippet"] for r in got)
+    # a 40-char fragment wraps its tags around <= 40 chars of content
+    assert all(len(r["snippet"]) <= 40 + 4 for r in got)
+    assert searcher.highlight("zzzabsentterm", k=3).count() == 0
+    assert searcher.highlight("", k=3).count() == 0
+
+
+# -- more_like_this ---------------------------------------------------------
+
+def _mlt_terms(oracle, src: int, max_terms: int = 25, min_tf: int = 2,
+               min_df: int = 5) -> list[str]:
+    c = oracle.tf[src]
+    cand = [(-tf * oracle.idf(t), t) for t, tf in c.items()
+            if tf >= min_tf and oracle.df.get(t, 0) >= min_df]
+    cand.sort()
+    return [t for _, t in cand[:max_terms]]
+
+
+def test_more_like_this_matches_oracle(searcher, oracle):
+    # pick a source doc with enough repeated terms to survive min_term_freq
+    src = max(oracle.tf, key=lambda d: sum(
+        1 for tf in oracle.tf[d].values() if tf >= 2))
+    sel = _mlt_terms(oracle, src)
+    assert sel, "fixture doc must yield MLT terms"
+    want = [(d, s) for d, s in oracle.top_k(sel, 11) if d != src][:10]
+    got = searcher.more_like_this(src, k=10).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == want
+    assert src not in [r["doc_id"] for r in got]
+
+
+def test_more_like_this_filters_and_errors(spark, searcher, index_dir,
+                                           oracle):
+    src = max(oracle.tf, key=lambda d: sum(
+        1 for tf in oracle.tf[d].values() if tf >= 2))
+    docs = spark.read.parquet(f"{index_dir}/docs")
+    py_ids = {r["doc_id"] for r in
+              docs.filter(F.col("lang") == "python")
+              .select("doc_id").collect()}
+    sel = _mlt_terms(oracle, src)
+    want = [(d, s) for d, s in
+            oracle.top_k(sel, len(oracle.tf), filter_ids=py_ids)
+            if d != src][:5]
+    got = searcher.more_like_this(src, k=5,
+                                  filters={"lang": "python"}).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == want
+    with pytest.raises(ValueError, match="not found"):
+        searcher.more_like_this(-999)
+    # a doc whose every term is too rare yields the empty result
+    strict = searcher.more_like_this(src, k=5, min_term_freq=10**6)
+    assert strict.count() == 0
