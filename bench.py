@@ -171,6 +171,30 @@ def main() -> None:
     searcher.search("data value", 10, filters={"lang": "en"},
                     mode="distributed").collect()
     timings["q_distributed_filtered"] = round(time.time() - t0, 4)
+    # ES query-DSL round-out (round 5): fuzzy expansion + scoring,
+    # field-sorted second page, stats agg over the match set, highlight
+    # snippets, more_like_this — the serving surface beyond plain top-k
+    t0 = time.time()
+    searcher.search_fuzzy("valu", 10, max_edits=1).collect()
+    timings["q_fuzzy"] = round(time.time() - t0, 4)
+    t0 = time.time()
+    searcher.search_sorted("data value", "n_chars", k=10,
+                           from_=10).collect()
+    timings["q_sorted_page"] = round(time.time() - t0, 4)
+    t0 = time.time()
+    searcher.facet_stats("data value", "dl").collect()
+    timings["q_agg_stats"] = round(time.time() - t0, 4)
+    content_tbl = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+                   .select("doc_id", "text"))
+    t0 = time.time()
+    hl = searcher.highlight("data value", 10, content_df=content_tbl,
+                            content_col="text").collect()
+    timings["q_highlight"] = round(time.time() - t0, 4)
+    t0 = time.time()
+    searcher.more_like_this(int(hl[0]["doc_id"]), 10,
+                            content_df=content_tbl,
+                            content_col="text").collect()
+    timings["q_mlt"] = round(time.time() - t0, 4)
     # reindex / clone to a new layout (no re-tokenize): exercises the
     # vectorized segments→postings decode (Arrow buffer-level, np.repeat)
     from deluge_spark.plans.admin import reindex
