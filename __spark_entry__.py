@@ -347,6 +347,21 @@ def _mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("score").desc(), F.col("doc_id").asc()))
 
 
+def _count_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``_count`` API (Searcher.count): match-set size under a filter,
+    no scoring, no top-k; surfaced as a one-row frame for the oracle."""
+    s = _get_searcher(spark, sf_dir)
+    n = s.count(FACET_QUERY, filters={"lang": "en"})
+    return spark.createDataFrame([(n,)], "n_matches long")
+
+
+def _explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``_explain`` API (Searcher.explain_score): per-term BM25
+    breakdown (tf/df/idf/contribution) of one doc for a query."""
+    s = _get_searcher(spark, sf_dir)
+    return s.explain_score(FACET_QUERY, MLT_DOC, round_dp=SCORE_DP)
+
+
 def _fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES ``fuzzy`` query (Searcher.search_fuzzy): dictionary expansion
     within 1 Levenshtein edit of the (misspelled) term, scored as a
@@ -546,6 +561,43 @@ WHERE doc_id IN (SELECT doc_id FROM m)
 ORDER BY n_chars DESC, doc_id LIMIT {k} OFFSET {from_}"""
 
 
+def _count_sql(query: str, lang: str) -> str:
+    """DuckDB twin of Searcher.count with a term filter."""
+    return _match_ids_sql(query) + f"""
+SELECT CAST(count(*) AS BIGINT) AS n_matches
+FROM m WHERE doc_id IN (SELECT doc_id FROM documents
+                        WHERE lang = '{lang}')"""
+
+
+def _explain_sql(query: str, doc: int) -> str:
+    """DuckDB twin of Searcher.explain_score: per-term tf/df/idf and BM25
+    contribution for one doc; query terms missing from the doc appear
+    with tf=0 and contribution=0 (ES explain shows the full structure)."""
+    terms = sorted(dict.fromkeys(tokenize_py(query, "code")))
+    vals = ", ".join(f"('{t}')" for t in terms)
+    return _bm25_scaffold() + f""", q(term) AS (VALUES {vals}),
+dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+tfd AS (
+  SELECT tf.term, tf.tf, dl.dl FROM tf JOIN dl USING (doc_id)
+  WHERE doc_id = {doc}
+)
+SELECT q.term,
+       CAST(COALESCE(tfd.tf, 0) AS BIGINT) AS tf,
+       dft.df,
+       ROUND(ln(1.0 + (stats.n - dft.df + 0.5) / (dft.df + 0.5)),
+             {SCORE_DP}) AS idf,
+       CASE WHEN tfd.tf IS NULL THEN 0.0
+            ELSE ROUND(ln(1.0 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+                       * (tfd.tf * ({K1} + 1.0))
+                       / (tfd.tf + {K1} * (1.0 - {B}
+                                           + {B} * tfd.dl / stats.avgdl)),
+                       {SCORE_DP})
+       END AS contribution
+FROM q JOIN dft USING (term) CROSS JOIN stats
+LEFT JOIN tfd USING (term)
+ORDER BY q.term"""
+
+
 def _highlight_sql(query: str, k: int, frag: int = 100) -> str:
     """DuckDB twin of Searcher.highlight: top-k hits joined back to the
     documents text; matched term = first analyzed query term (query
@@ -685,6 +737,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_fuzzy"] = _fuzzy
     q["highlight_topk"] = _highlight
     q["more_like_this"] = _mlt
+    q["count_filtered"] = _count_api
+    q["explain_score"] = _explain
     # bm25_topk_*: the pure-DataFrame scoring twin (cross-check path).
     q["bm25_topk_multi"] = lambda s, d: _bm25(s, d, "spark join table", 10)
     q["bm25_topk_hot"] = lambda s, d: _bm25(s, d, "data", 20)
@@ -940,6 +994,8 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_fuzzy"] = _fuzzy_sql("valu", 1, 50, 10)
     o["highlight_topk"] = _highlight_sql(FACET_QUERY, 10)
     o["more_like_this"] = _mlt_sql(MLT_DOC, 10)
+    o["count_filtered"] = _count_sql(FACET_QUERY, "en")
+    o["explain_score"] = _explain_sql(FACET_QUERY, MLT_DOC)
     o["facet_histogram_dl"] = _facet_hist_sql(FACET_QUERY,
                                               FACET_HIST_INTERVAL)
     o["bm25_topk_multi"] = _bm25_sql("spark join table", 10)

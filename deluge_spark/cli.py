@@ -99,6 +99,11 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--shards", type=int, default=8)
     b.add_argument("--tokenizer", choices=["code", "simple"], default="code")
     b.add_argument("--groups", type=int, default=4)
+    b.add_argument("--text-col", default="content",
+                   help="corpus column holding the document text "
+                        "(renamed to 'content' for the index; if the "
+                        "default is absent but a 'text' column exists, "
+                        "it is used automatically)")
     b.add_argument("--overwrite", action="store_true",
                    help="allow wiping an existing index built from a "
                         "different source (otherwise StaleIndexError)")
@@ -144,6 +149,19 @@ def main(argv: list[str] | None = None) -> int:
                    help="with --sort: ascending (default descending)")
     s.add_argument("--from", dest="from_", type=int, default=0,
                    help="pagination offset (ES from; with -k as size)")
+
+    cn = sub.add_parser("count",
+                        help="match-set size (ES _count), no scoring")
+    cn.add_argument("--index", required=True)
+    cn.add_argument("--query", required=True)
+    cn.add_argument("--filter", action="append", default=[])
+
+    ex = sub.add_parser("explain",
+                        help="per-term BM25 breakdown of one doc's score "
+                             "(ES _explain)")
+    ex.add_argument("--index", required=True)
+    ex.add_argument("--query", required=True)
+    ex.add_argument("--doc", type=int, required=True)
 
     fa = sub.add_parser("facet",
                         help="aggregations over the match set (ES aggs)")
@@ -295,6 +313,15 @@ def main(argv: list[str] | None = None) -> int:
         from deluge_spark.index.build import BuildConfig, build_index
 
         corpus = spark.read.parquet(args.corpus)
+        text_col = args.text_col
+        if text_col == "content" and "content" not in corpus.columns \
+                and "text" in corpus.columns:
+            text_col = "text"
+        if text_col != "content":
+            if text_col not in corpus.columns:
+                raise SystemExit(f"--text-col {text_col!r} not in corpus "
+                                 f"columns {corpus.columns}")
+            corpus = corpus.withColumnRenamed(text_col, "content")
         metrics = build_index(spark, corpus, args.out, BuildConfig(
             num_shards=args.shards, tokenizer_mode=args.tokenizer,
             tokenize_groups=args.groups, overwrite_stale=args.overwrite))
@@ -355,6 +382,18 @@ def main(argv: list[str] | None = None) -> int:
         if out is not None:
             for row in out.collect():
                 print(json.dumps(row.asDict()))
+    elif args.cmd == "count":
+        from deluge_spark.index.search import Searcher
+
+        searcher = Searcher(spark, args.index)
+        print(json.dumps({"n_matches": searcher.count(
+            args.query, _parse_filters(args.filter))}))
+    elif args.cmd == "explain":
+        from deluge_spark.index.search import Searcher
+
+        searcher = Searcher(spark, args.index)
+        for row in searcher.explain_score(args.query, args.doc).collect():
+            print(json.dumps(row.asDict()))
     elif args.cmd == "facet":
         from deluge_spark.index.search import Searcher
 

@@ -1229,6 +1229,56 @@ class Searcher:
             ids = ids.join(tomb, "doc_id", "left_anti")
         return ids
 
+    def count(self, query: str, filters: dict | None = None) -> int:
+        """ES ``_count`` API: size of the query-context match set (any
+        analyzed term present) under optional filters — one distributed
+        count over the pushed-predicate postings decode, no scoring, no
+        top-k."""
+        ids = self._match_ids(query, filters)
+        return 0 if ids is None else ids.count()
+
+    def explain_score(self, query: str, doc_id: int,
+                      round_dp: int = 9) -> DataFrame:
+        """ES ``_explain`` API: the per-term BM25 breakdown of one doc's
+        score for a query → DataFrame(term, tf, df, idf, contribution)
+        ordered term asc. Terms the doc lacks contribute rows with
+        tf=0/contribution=0 (ES shows the full query structure).
+
+        The tf lookup is a pushed (term IN …) segment decode filtered to
+        one doc_id — postings for other docs never leave the executors."""
+        from deluge_spark.index.build import tf_from_segments
+        from deluge_spark.index.score import B, K1
+
+        terms = list(dict.fromkeys(tokenize_py(query, self.mode)))
+        dfs = self._term_dfs(terms)
+        terms = [t for t in terms if t in dfs]
+        schema = ("term string, tf long, df long, idf double, "
+                  "contribution double")
+        if not terms:
+            return self.spark.createDataFrame([], schema)
+        n = self.stats["n_docs"]
+        avgdl = float(self.stats["avgdl"])
+        tf = (tf_from_segments(self.spark, self.index_dir, terms=terms)
+              .filter(F.col("doc_id") == doc_id)
+              .select("term", "tf", "dl"))
+        base = self.spark.createDataFrame(
+            [(t, int(dfs[t])) for t in terms], "term string, df long")
+        joined = base.join(tf, "term", "left")
+        idf_col = F.log(F.lit(1.0)
+                        + (F.lit(float(n)) - F.col("df") + 0.5)
+                        / (F.col("df") + 0.5))
+        tf_c = F.coalesce(F.col("tf"), F.lit(0)).cast("long")
+        norm = (tf_c.cast("double") * (K1 + 1.0)
+                / (tf_c.cast("double")
+                   + K1 * (1.0 - B + B * F.col("dl") / F.lit(avgdl))))
+        contrib = F.when(tf_c > 0, F.round(idf_col * norm, round_dp)) \
+                   .otherwise(F.lit(0.0))
+        return (joined.select(
+                    "term", tf_c.alias("tf"), "df",
+                    F.round(idf_col, round_dp).alias("idf"),
+                    contrib.alias("contribution"))
+                .orderBy(F.col("term").asc()))
+
     def facet_terms(self, query: str, by: str = "lang", size: int = 10,
                     filters: dict[str, str] | None = None) -> DataFrame:
         """ES ``terms`` aggregation: matching-doc counts per value of a

@@ -257,3 +257,27 @@ def test_cli_highlight_and_mlt(spark, small_index):
     api_ml = s.more_like_this(src, k=3).collect()
     assert [m["doc_id"] for m in ml] == [r["doc_id"] for r in api_ml]
     assert src not in [m["doc_id"] for m in ml]
+
+
+def test_cli_count_and_explain(spark, small_index):
+    """count and explain subcommands vs the in-process API."""
+    def run(*args):
+        p = subprocess.run([sys.executable, "-m", "deluge_spark.cli",
+                            "--cores", "4", *args],
+                           capture_output=True, text=True, timeout=600,
+                           cwd="/root/repo")
+        assert p.returncode == 0, p.stderr[-2000:]
+        return [json.loads(line) for line in p.stdout.splitlines()
+                if line.startswith("{")]
+
+    s = Searcher(spark, small_index)
+    n = run("count", "--index", small_index, "--query", "import return",
+            "--filter", "lang=go")[-1]
+    assert n["n_matches"] == s.count("import return",
+                                     filters={"lang": "go"})
+    doc = s.search_local("import return", 1)[0][0]
+    ex = run("explain", "--index", small_index, "--query",
+             "import return", "--doc", str(doc))
+    api = s.explain_score("import return", doc).collect()
+    assert [(e["term"], e["tf"], e["df"]) for e in ex] \
+        == [(r["term"], r["tf"], r["df"]) for r in api]

@@ -276,3 +276,48 @@ def test_more_like_this_filters_and_errors(spark, searcher, index_dir,
     # a doc whose every term is too rare yields the empty result
     strict = searcher.more_like_this(src, k=5, min_term_freq=10**6)
     assert strict.count() == 0
+
+
+# -- count + explain_score --------------------------------------------------
+
+def test_count_matches_brute_force(spark, searcher, index_dir, oracle):
+    assert searcher.count(QUERY) == len(_match_set(oracle, QUERY))
+    docs = spark.read.parquet(f"{index_dir}/docs")
+    go = {r["doc_id"] for r in
+          docs.filter(F.col("lang") == "go").select("doc_id").collect()}
+    assert searcher.count(QUERY, filters={"lang": "go"}) \
+        == len(_match_set(oracle, QUERY) & go)
+    assert searcher.count("zzzabsentterm") == 0
+
+
+def test_explain_score_decomposes_search_score(searcher, oracle):
+    terms = tokenize_py(QUERY, "code")
+    top = oracle.top_k(terms, 3)
+    for doc, score in top:
+        rows = searcher.explain_score(QUERY, doc).collect()
+        assert [r["term"] for r in rows] == sorted(dict.fromkeys(terms))
+        # per-term pieces match the oracle's scoring math
+        for r in rows:
+            assert r["df"] == oracle.df[r["term"]]
+            assert r["idf"] == pytest.approx(oracle.idf(r["term"]), abs=1e-9)
+            assert r["tf"] == oracle.tf[doc].get(r["term"], 0)
+            if r["tf"] == 0:
+                assert r["contribution"] == 0.0
+        # contributions sum back to the doc's total BM25 score
+        assert sum(r["contribution"] for r in rows) \
+            == pytest.approx(score, abs=1e-6)
+
+
+def test_explain_score_unknown_and_partial(searcher, oracle):
+    assert searcher.explain_score("zzzabsentterm", 0).count() == 0
+    # a doc missing one query term still shows that term with tf=0
+    m_import = {d for d, c in oracle.tf.items() if "import" in c}
+    m_return = {d for d, c in oracle.tf.items() if "return" in c}
+    only_import = m_import - m_return
+    if only_import:
+        doc = min(only_import)
+        rows = {r["term"]: r for r in
+                searcher.explain_score(QUERY, doc).collect()}
+        assert rows["return"]["tf"] == 0
+        assert rows["return"]["contribution"] == 0.0
+        assert rows["import"]["contribution"] > 0
