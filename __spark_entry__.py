@@ -317,6 +317,39 @@ def _sorted_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.search_sorted(FACET_QUERY, "n_chars", k=10, from_=10)
 
 
+def _sorted_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``search_after`` (Searcher.search_sorted cursor mode): the
+    second page via the first page's final (sort value, doc_id) cursor —
+    a strictly-after filter + one size-k heap, the O(k) deep-paging scale
+    path (from+size pays O(from+k)). Equals OFFSET paging by contract."""
+    s = _get_searcher(spark, sf_dir)
+    p1 = s.search_sorted(FACET_QUERY, "n_chars", k=10).collect()
+    return s.search_sorted(FACET_QUERY, "n_chars", k=10,
+                           search_after=(p1[-1]["n_chars"],
+                                         p1[-1]["doc_id"]))
+
+
+def _bool_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``minimum_should_match`` (Searcher.search_bool msm gate):
+    candidates must contain >= 2 distinct should terms; scores stay plain
+    BM25 over the should terms (the gate never changes scores)."""
+    s = _get_searcher(spark, sf_dir)
+    out = s.search_bool(should=FACET_QUERY, k=10, minimum_should_match=2,
+                        mode="distributed", round_dp=SCORE_DP)
+    return (out.select("doc_id", F.round("score", SCORE_DP).alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+
+
+MGET_IDS = [42, 7, 3, 10**9]  # one deliberately absent
+
+
+def _mget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``_mget`` (Searcher.get_docs): stored-field fetch by id with a
+    column-pruned projection; missing ids are absent, order doc_id asc."""
+    s = _get_searcher(spark, sf_dir)
+    return s.get_docs(MGET_IDS, fields=["lang", "n_chars"])
+
+
 #: more_like_this source doc (exists at every driver sf)
 MLT_DOC = 42
 
@@ -561,6 +594,29 @@ WHERE doc_id IN (SELECT doc_id FROM m)
 ORDER BY n_chars DESC, doc_id LIMIT {k} OFFSET {from_}"""
 
 
+def _bool_msm_sql(should: str, msm: int, k: int) -> str:
+    """DuckDB twin of Searcher.search_bool(minimum_should_match=msm):
+    candidates hold >= msm distinct should terms; BM25 over the should
+    terms, scores unchanged by the gate."""
+    s = list(dict.fromkeys(tokenize_py(should, "code")))
+    vals = ", ".join(f"('{t}')" for t in s)
+    body = f""", q(term) AS (VALUES {vals}),
+m AS (SELECT tf.* FROM tf WHERE term IN (SELECT term FROM q)),
+cand AS (
+  SELECT doc_id FROM m GROUP BY doc_id
+  HAVING count(DISTINCT term) >= {msm}
+)"""
+    return (_bm25_scaffold() + body
+            + _bm25_score_tail(k, " AND doc_id IN (SELECT doc_id FROM cand)"))
+
+
+def _mget_sql(ids: list[int]) -> str:
+    """DuckDB twin of Searcher.get_docs with a field projection."""
+    idl = ", ".join(str(i) for i in ids)
+    return f"""SELECT doc_id, lang, n_chars FROM documents
+WHERE doc_id IN ({idl}) ORDER BY doc_id"""
+
+
 def _count_sql(query: str, lang: str) -> str:
     """DuckDB twin of Searcher.count with a term filter."""
     return _match_ids_sql(query) + f"""
@@ -739,6 +795,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["more_like_this"] = _mlt
     q["count_filtered"] = _count_api
     q["explain_score"] = _explain
+    q["sorted_page_after"] = _sorted_after
+    q["bool_min_should_match"] = _bool_msm
+    q["mget_fields"] = _mget
     # bm25_topk_*: the pure-DataFrame scoring twin (cross-check path).
     q["bm25_topk_multi"] = lambda s, d: _bm25(s, d, "spark join table", 10)
     q["bm25_topk_hot"] = lambda s, d: _bm25(s, d, "data", 20)
@@ -996,6 +1055,10 @@ def oracle_sql() -> dict[str, str]:
     o["more_like_this"] = _mlt_sql(MLT_DOC, 10)
     o["count_filtered"] = _count_sql(FACET_QUERY, "en")
     o["explain_score"] = _explain_sql(FACET_QUERY, MLT_DOC)
+    # search_after page 2 == OFFSET page 2 by contract (test-asserted)
+    o["sorted_page_after"] = _sorted_sql(FACET_QUERY, 10, 10)
+    o["bool_min_should_match"] = _bool_msm_sql(FACET_QUERY, 2, 10)
+    o["mget_fields"] = _mget_sql(MGET_IDS)
     o["facet_histogram_dl"] = _facet_hist_sql(FACET_QUERY,
                                               FACET_HIST_INTERVAL)
     o["bm25_topk_multi"] = _bm25_sql("spark join table", 10)

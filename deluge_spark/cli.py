@@ -149,6 +149,21 @@ def main(argv: list[str] | None = None) -> int:
                    help="with --sort: ascending (default descending)")
     s.add_argument("--from", dest="from_", type=int, default=0,
                    help="pagination offset (ES from; with -k as size)")
+    s.add_argument("--after", default=None, metavar="VALUE,DOC_ID",
+                   help="with --sort: search_after cursor — the last "
+                        "page's final (sort value, doc_id); the O(k) "
+                        "deep-paging path")
+    s.add_argument("--min-should-match", dest="msm", type=int, default=0,
+                   help="bool query: candidates must contain at least "
+                        "this many distinct should (--query) tokens")
+
+    mg = sub.add_parser("mget",
+                        help="fetch stored docs by id (ES _mget)")
+    mg.add_argument("--index", required=True)
+    mg.add_argument("--ids", required=True,
+                    help="comma-separated doc_ids")
+    mg.add_argument("--fields", default=None,
+                    help="comma-separated stored-field subset")
 
     cn = sub.add_parser("count",
                         help="match-set size (ES _count), no scoring")
@@ -349,11 +364,22 @@ def main(argv: list[str] | None = None) -> int:
         elif args.sort is not None:
             if args.query is None:
                 raise SystemExit("--sort needs --query (the match set)")
+            after = None
+            if args.after is not None:
+                v, d = args.after.rsplit(",", 1)
+                for cast in (int, float):
+                    try:
+                        v = cast(v)
+                        break
+                    except ValueError:
+                        pass
+                after = (v, int(d))
             out = searcher.search_sorted(args.query, args.sort, args.k,
                                          ascending=args.asc,
                                          from_=args.from_,
                                          filters=filters,
-                                         fetch=args.fetch)
+                                         fetch=args.fetch,
+                                         search_after=after)
         elif args.fuzzy is not None:
             edits = (args.max_edits if args.max_edits == "auto"
                      else int(args.max_edits))
@@ -371,7 +397,8 @@ def main(argv: list[str] | None = None) -> int:
         elif args.must is not None or args.must_not is not None:
             out = searcher.search_bool(must=args.must, should=args.query,
                                        must_not=args.must_not, k=args.k,
-                                       filters=filters, fetch=args.fetch)
+                                       filters=filters, fetch=args.fetch,
+                                       minimum_should_match=args.msm)
         elif args.fetch:
             out = searcher.search(args.query, args.k, filters, fetch=True)
         else:
@@ -382,6 +409,14 @@ def main(argv: list[str] | None = None) -> int:
         if out is not None:
             for row in out.collect():
                 print(json.dumps(row.asDict()))
+    elif args.cmd == "mget":
+        from deluge_spark.index.search import Searcher
+
+        searcher = Searcher(spark, args.index)
+        fields = args.fields.split(",") if args.fields else None
+        ids = [int(x) for x in args.ids.split(",") if x]
+        for row in searcher.get_docs(ids, fields).collect():
+            print(json.dumps(row.asDict()))
     elif args.cmd == "count":
         from deluge_spark.index.search import Searcher
 

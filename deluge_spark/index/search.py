@@ -694,14 +694,23 @@ class Searcher:
     def _bool_sets(cls, rows: list[dict], must: list[str],
                    must_not: list[str],
                    allowed: np.ndarray | None,
-                   banned: np.ndarray | None
+                   banned: np.ndarray | None,
+                   should: list[str] | None = None,
+                   msm: int = 0
                    ) -> tuple[np.ndarray | None, np.ndarray | None, bool]:
         """Resolve a bool query's candidate/exclusion sets against one
         scope's segment rows (a shard in distributed mode, the whole index
         in coordinator mode — doc_ids are shard-partitioned, so per-shard
         resolution is complete). Returns (allowed, banned, dead): the
         must-conjunction intersected into ``allowed``, must_not unioned
-        into ``banned``; ``dead`` short-circuits an empty conjunction."""
+        into ``banned``; ``dead`` short-circuits an empty conjunction.
+
+        ``msm`` > 0 (ES ``minimum_should_match``) additionally requires
+        each candidate to contain at least ``msm`` distinct ``should``
+        terms — a per-doc clause count over the already-decoded should
+        postings (each term's doc set is unique, so concatenated
+        multiplicity = matched-clause count), same O(Σ df) work class as
+        the must resolution."""
         by_term: dict[str, list[dict]] = {}
         for r in rows:
             by_term.setdefault(r["term"], []).append(r)
@@ -709,6 +718,19 @@ class Searcher:
             dt = cls._union_docs(by_term, [t])
             allowed = dt if allowed is None else np.intersect1d(
                 allowed, dt, assume_unique=True)
+            if not len(allowed):
+                return allowed, banned, True
+        if msm > 0:
+            present = [t for t in dict.fromkeys(should or [])
+                       if t in by_term]
+            if len(present) < msm:
+                return allowed, banned, True
+            cat = np.concatenate([cls._union_docs(by_term, [t])
+                                  for t in present])
+            ids, counts = np.unique(cat, return_counts=True)
+            ok = ids[counts >= msm]
+            allowed = ok if allowed is None else np.intersect1d(
+                allowed, ok, assume_unique=True)
             if not len(allowed):
                 return allowed, banned, True
         if must_not:
@@ -750,7 +772,9 @@ class Searcher:
     def search_bool_local(self, must=None, should=None, must_not=None,
                           k: int = 10,
                           filters: dict[str, str] | None = None,
-                          round_dp: int = 9) -> list[tuple[int, float]]:
+                          round_dp: int = 9,
+                          minimum_should_match: int = 0
+                          ) -> list[tuple[int, float]]:
         """Coordinator-mode boolean search (ES ``bool`` query semantics):
         docs must contain EVERY ``must`` token, may contain ``should``
         tokens (both contribute BM25 score), and are excluded if they
@@ -775,7 +799,8 @@ class Searcher:
         rows = self._fetch_term_rows(list(dict.fromkeys(
             m + scoring + mn)))
         allowed, banned, dead = self._bool_sets(
-            rows, m, mn, allowed, self._tombstones)
+            rows, m, mn, allowed, self._tombstones,
+            self._norm_clause(should), minimum_should_match)
         if dead:
             return []
         srows = [r for r in rows if r["term"] in set(scoring)]
@@ -798,7 +823,9 @@ class Searcher:
                           must_not: list[str], avgdl: float, k: int,
                           round_dp: int,
                           filters: dict[str, str] | None,
-                          exhaustive: bool = False) -> DataFrame:
+                          exhaustive: bool = False,
+                          should: list[str] | None = None,
+                          msm: int = 0) -> DataFrame:
         """Distributed bool execution: per-shard candidate-set resolution
         (conjunction/exclusion over decoded postings) + scoring in ONE
         applyInPandas pass — posting bytes never leave the executors.
@@ -818,7 +845,7 @@ class Searcher:
             banned = (b_tomb.value if b_tomb is not None
                       else extra_banned)
             allowed2, banned2, dead = Searcher._bool_sets(
-                rows, must, must_not, allowed, banned)
+                rows, must, must_not, allowed, banned, should, msm)
             if dead:
                 return pd.DataFrame({"doc_id": [], "score": []})
             srows = [r for r in rows if r["term"] in scoring_set]
@@ -847,7 +874,8 @@ class Searcher:
                     k: int = 10,
                     filters: dict[str, str] | None = None,
                     mode: str = "auto", round_dp: int = 9,
-                    fetch: bool = False) -> DataFrame:
+                    fetch: bool = False,
+                    minimum_should_match: int = 0) -> DataFrame:
         """Boolean top-k BM25 search → DataFrame(doc_id, score[, fields]).
 
         ES ``bool`` query parity (B5/B7 extension): ``must`` tokens are a
@@ -855,7 +883,14 @@ class Searcher:
         tokens exclude. Keyword ``filters`` compose (the ES filter
         context). mode='auto' picks coordinator vs distributed from the
         dictionary like ``search`` (Σ df over ALL involved terms, since
-        must/must_not lists are decoded for set resolution)."""
+        must/must_not lists are decoded for set resolution).
+
+        ``minimum_should_match`` (ES semantics): candidates must contain
+        at least that many distinct ``should`` terms; 0 keeps the default
+        (should-optional with a must, any-should without one). Scores are
+        unchanged — the constraint only gates candidacy."""
+        if minimum_should_match < 0:
+            raise ValueError("minimum_should_match must be >= 0")
         bt = self._bool_terms(must, should, must_not)
         if bt is None:
             return self._empty()
@@ -873,7 +908,8 @@ class Searcher:
         if mode == "coordinator":
             try:
                 top = self.search_bool_local(must, should, must_not, k,
-                                             filters, round_dp)
+                                             filters, round_dp,
+                                             minimum_should_match)
                 out = self.spark.createDataFrame(
                     [(int(d), float(s)) for d, s in top], RESULT_SCHEMA)
             except (FilterTooUnselective, TombstonesTooLarge):
@@ -882,7 +918,9 @@ class Searcher:
                 mode = "distributed"
         if mode == "distributed":
             out = self._distributed_bool(seg, idfs, scoring, m, mn,
-                                         avgdl, k, round_dp, filters)
+                                         avgdl, k, round_dp, filters,
+                                         should=self._norm_clause(should),
+                                         msm=minimum_should_match)
         if fetch:
             out = self._fetch_fields(out)
         return out.orderBy(F.round("score", round_dp).desc(),
@@ -1384,7 +1422,8 @@ class Searcher:
     def search_sorted(self, query: str, sort_by: str, k: int = 10,
                       ascending: bool = False, from_: int = 0,
                       filters: dict | None = None,
-                      fetch: bool = False) -> DataFrame:
+                      fetch: bool = False,
+                      search_after: tuple | None = None) -> DataFrame:
         """Field-sorted search with pagination (ES ``sort`` without
         ``_score`` + ``from``/``size``): the query selects the match set,
         ranking is a stored field — scores are never computed, exactly
@@ -1395,14 +1434,31 @@ class Searcher:
         sort+offset+limit to TakeOrderedAndProject), so cost scales with
         the match set, not with a full corpus sort; deep paging
         (from ≫ k) degrades like ES's — bounded by the same
-        top-(from+size) heap."""
+        top-(from+size) heap.
+
+        ``search_after=(last_sort_value, last_doc_id)`` is the scale path
+        for deep paging (ES ``search_after``): rows strictly after the
+        cursor in (sort key, doc_id) order are filtered BEFORE the top-k,
+        so every page costs one size-k heap — page N of a 10⁹-doc match
+        set is O(k), not the O(N·k) a from+size heap pays. Mutually
+        exclusive with ``from_``."""
         if from_ < 0:
             raise ValueError("from_ must be >= 0")
+        if search_after is not None and from_:
+            raise ValueError("search_after and from_ are mutually "
+                             "exclusive (ES contract)")
         mv = self._match_field(query, sort_by, filters)
         if mv is None:
             return self.spark.createDataFrame(
                 [], f"doc_id long, {sort_by} string")
         out = mv.select("doc_id", F.col("v").alias(sort_by))
+        if search_after is not None:
+            av, ad = search_after
+            key_col = F.col(sort_by)
+            strict = key_col > F.lit(av) if ascending else key_col < F.lit(av)
+            out = out.filter(
+                strict | ((key_col == F.lit(av))
+                          & (F.col("doc_id") > F.lit(int(ad)))))
         key = F.col(sort_by).asc() if ascending else F.col(sort_by).desc()
         out = (out.orderBy(key, F.col("doc_id").asc())
                .offset(from_).limit(k))
@@ -1420,6 +1476,30 @@ class Searcher:
         return out.join(F.broadcast(docs.select("doc_id", *cols)
                                     .join(out.select("doc_id"), "doc_id",
                                           "left_semi")), "doc_id")
+
+    def get_docs(self, doc_ids: list[int],
+                 fields: list[str] | None = None) -> DataFrame:
+        """ES ``_mget``: fetch stored documents by id → one row per id
+        found (missing ids are simply absent, tombstoned ids excluded),
+        ordered doc_id asc. ``fields`` projects a column subset
+        (column-pruned parquet scan); default all stored fields.
+
+        The id set is an ``isin`` literal pushed to the parquet scan —
+        at 100 TB this is a min/max row-group skip + dictionary filter,
+        never a full docs-table read."""
+        ids = sorted({int(d) for d in doc_ids})
+        docs = self.spark.read.parquet(self._docs_path)
+        if fields:
+            missing = [c for c in fields if c not in docs.columns]
+            if missing:
+                raise ValueError(f"unknown stored fields: {missing}")
+            docs = docs.select("doc_id", *[c for c in fields
+                                           if c != "doc_id"])
+        out = docs.filter(F.col("doc_id").isin(ids))
+        tomb = self._tombstones_df()
+        if tomb is not None:
+            out = out.join(tomb, "doc_id", "left_anti")
+        return out.orderBy(F.col("doc_id").asc())
 
     def search_dataframe(self, query: str, k: int = 10,
                          filters: dict[str, str] | None = None,

@@ -281,3 +281,40 @@ def test_cli_count_and_explain(spark, small_index):
     api = s.explain_score("import return", doc).collect()
     assert [(e["term"], e["tf"], e["df"]) for e in ex] \
         == [(r["term"], r["tf"], r["df"]) for r in api]
+
+
+def test_cli_mget_and_search_after(spark, small_index):
+    """mget subcommand and search --sort --after vs the in-process API."""
+    def run(*args):
+        p = subprocess.run([sys.executable, "-m", "deluge_spark.cli",
+                            "--cores", "4", *args],
+                           capture_output=True, text=True, timeout=600,
+                           cwd="/root/repo")
+        assert p.returncode == 0, p.stderr[-2000:]
+        return [json.loads(line) for line in p.stdout.splitlines()
+                if line.startswith("{")]
+
+    s = Searcher(spark, small_index)
+    ids = [r["doc_id"] for r in spark.read.parquet(f"{small_index}/docs")
+           .select("doc_id").limit(3).collect()]
+    got = run("mget", "--index", small_index,
+              "--ids", ",".join(map(str, ids)), "--fields", "lang")
+    api = s.get_docs(ids, fields=["lang"]).collect()
+    assert [(g["doc_id"], g["lang"]) for g in got] \
+        == [(r["doc_id"], r["lang"]) for r in api]
+
+    p1 = s.search_sorted("import return", "dl", k=4).collect()
+    cursor = f"{p1[-1]['dl']},{p1[-1]['doc_id']}"
+    got = run("search", "--index", small_index, "--query", "import return",
+              "--sort", "dl", "-k", "4", "--after", cursor)
+    api2 = s.search_sorted("import return", "dl", k=4,
+                           search_after=(p1[-1]["dl"],
+                                         p1[-1]["doc_id"])).collect()
+    assert [g["doc_id"] for g in got] == [r["doc_id"] for r in api2]
+
+    # bool msm through the CLI
+    got = run("search", "--index", small_index, "--query", "import return",
+              "--must", "data", "--min-should-match", "1")
+    api3 = s.search_bool(must="data", should="import return", k=10,
+                         minimum_should_match=1).collect()
+    assert [g["doc_id"] for g in got] == [r["doc_id"] for r in api3]

@@ -321,3 +321,89 @@ def test_explain_score_unknown_and_partial(searcher, oracle):
         assert rows["return"]["tf"] == 0
         assert rows["return"]["contribution"] == 0.0
         assert rows["import"]["contribution"] > 0
+
+
+# -- search_after (deep-paging scale path) ----------------------------------
+
+def test_search_after_stitches_the_full_match_set(searcher, oracle):
+    m = _match_set(oracle, QUERY)
+    want = sorted(((oracle.dl[d], d) for d in m), key=lambda x: (-x[0], x[1]))
+    got, after = [], None
+    while True:
+        page = searcher.search_sorted(QUERY, "dl", k=7,
+                                      search_after=after).collect()
+        if not page:
+            break
+        got.extend((r["dl"], r["doc_id"]) for r in page)
+        after = (page[-1]["dl"], page[-1]["doc_id"])
+    assert got == want  # every doc exactly once, in order
+    # ascending cursoring agrees with one big ascending page
+    asc_all = searcher.search_sorted(QUERY, "dl", k=len(m),
+                                     ascending=True).collect()
+    p1 = searcher.search_sorted(QUERY, "dl", k=4, ascending=True).collect()
+    p2 = searcher.search_sorted(
+        QUERY, "dl", k=4, ascending=True,
+        search_after=(p1[-1]["dl"], p1[-1]["doc_id"])).collect()
+    assert [r["doc_id"] for r in p1 + p2] \
+        == [r["doc_id"] for r in asc_all[:8]]
+
+
+def test_search_after_equals_from_size_pages(searcher):
+    """Cursor paging returns exactly what offset paging returns."""
+    p0 = searcher.search_sorted(QUERY, "dl", k=5).collect()
+    off = searcher.search_sorted(QUERY, "dl", k=5, from_=5).collect()
+    cur = searcher.search_sorted(
+        QUERY, "dl", k=5,
+        search_after=(p0[-1]["dl"], p0[-1]["doc_id"])).collect()
+    assert [(r["dl"], r["doc_id"]) for r in cur] \
+        == [(r["dl"], r["doc_id"]) for r in off]
+
+
+def test_search_after_string_field_and_validation(spark, searcher,
+                                                  index_dir):
+    docs = spark.read.parquet(f"{index_dir}/docs")
+    rows = {r["doc_id"]: r["path"] for r in
+            docs.select("doc_id", "path").collect()}
+    full = searcher.search_sorted(QUERY, "path", k=10**6,
+                                  ascending=True).collect()
+    cur = searcher.search_sorted(
+        QUERY, "path", k=3, ascending=True,
+        search_after=(full[2]["path"], full[2]["doc_id"])).collect()
+    assert [(r["path"], r["doc_id"]) for r in cur] \
+        == [(r["path"], r["doc_id"]) for r in full[3:6]]
+    assert all(rows[r["doc_id"]] == r["path"] for r in cur)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        searcher.search_sorted(QUERY, "dl", from_=5,
+                               search_after=(10, 0))
+
+
+# -- get_docs (ES _mget) ----------------------------------------------------
+
+def test_get_docs_fetches_by_id(spark, searcher, index_dir):
+    docs = spark.read.parquet(f"{index_dir}/docs")
+    ids = [r["doc_id"] for r in docs.select("doc_id").limit(5).collect()]
+    got = searcher.get_docs([ids[3], ids[0], ids[3], 10**12]).collect()
+    assert [r["doc_id"] for r in got] == sorted({ids[0], ids[3]})
+    assert set(got[0].asDict()) == set(docs.columns)
+    # field projection prunes columns
+    slim = searcher.get_docs(ids, fields=["lang"]).collect()
+    assert set(slim[0].asDict()) == {"doc_id", "lang"}
+    assert len(slim) == len(set(ids))
+    with pytest.raises(ValueError, match="unknown stored"):
+        searcher.get_docs(ids, fields=["nope"])
+
+
+def test_get_docs_excludes_tombstones(spark, corpus_df, tmp_path_factory):
+    from deluge_spark.index.build import BuildConfig, build_index
+    from deluge_spark.plans.admin import delete_docs
+
+    d = str(tmp_path_factory.mktemp("mget_del"))
+    build_index(spark, corpus_df, d,
+                BuildConfig(num_shards=2, tokenize_groups=1,
+                            shard_batches=1))
+    s = Searcher(spark, d)
+    ids = [r["doc_id"] for r in spark.read.parquet(f"{d}/docs")
+           .select("doc_id").limit(3).collect()]
+    delete_docs(spark, d, doc_ids=[ids[1]])
+    got = Searcher(spark, d).get_docs(ids).collect()
+    assert [r["doc_id"] for r in got] == sorted(set(ids) - {ids[1]})

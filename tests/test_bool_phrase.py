@@ -382,3 +382,72 @@ def test_bool_fetch_fields(spark, bp_idx):
     assert {"doc_id", "score", "lang"} <= cols
     assert out.count() == s.search_bool(must="import", should="return",
                                         k=5).count()
+
+
+# -- minimum_should_match ---------------------------------------------------
+
+def brute_bool_msm(oracle: OracleIndex, must, should, must_not, msm,
+                   k=10):
+    """brute_bool + the msm candidate gate: >= msm distinct should terms."""
+    m, s, mn = _norm(must), _norm(should), set(_norm(must_not))
+    m = [t for t in m if t not in mn]
+    s_eff = [t for t in s if t not in mn]
+    if _norm(must) and not m:
+        return []
+    scoring = [t for t in m + s_eff if oracle.df.get(t)]
+    if any(not oracle.df.get(t) for t in m) or not scoring:
+        return []
+    out = []
+    for doc_id, c in oracle.tf.items():
+        if any(t not in c for t in m):
+            continue
+        if any(t in c for t in mn):
+            continue
+        if msm > 0 and sum(1 for t in s if t in c) < msm:
+            continue
+        sc = oracle.score(scoring, doc_id)
+        if sc > 0.0:
+            out.append((doc_id, sc))
+    out.sort(key=lambda x: (-round(x[1], DP), x[0]))
+    return [(d, round(sc, DP)) for d, sc in out[:k]]
+
+
+MSM_CASES = [
+    dict(must=None, should="import return table", must_not=None),
+    dict(must="data", should="import return client", must_not=None),
+    dict(must=None, should="import return buffer", must_not="error"),
+]
+
+
+def test_bool_msm_matches_bruteforce_both_modes(spark, bp_idx, oracle):
+    s = Searcher(spark, bp_idx)
+    for case in MSM_CASES:
+        for msm in (1, 2, 3):
+            want = brute_bool_msm(oracle, msm=msm, **case)
+            for mode in ("coordinator", "distributed"):
+                got = _got(s.search_bool(k=10, mode=mode,
+                                         minimum_should_match=msm, **case))
+                assert got == want, (case, msm, mode)
+
+
+def test_bool_msm_tightens_the_match_set(spark, bp_idx, oracle):
+    s = Searcher(spark, bp_idx)
+    should = "import return table"
+    n = [s.search_bool(should=should, k=10**6,
+                       minimum_should_match=m).count()
+         for m in (0, 1, 2, 3)]
+    # msm=0 and msm=1 agree (any-should default); higher msm narrows
+    assert n[0] == n[1] and n[1] >= n[2] >= n[3]
+    assert n[2] < n[1], "fixture should have docs matching only one term"
+
+
+def test_bool_msm_edges(spark, bp_idx):
+    s = Searcher(spark, bp_idx)
+    # msm above the number of (present) should terms matches nothing
+    assert s.search_bool(should="import return",
+                         minimum_should_match=3).count() == 0
+    # absent should terms cannot satisfy msm
+    assert s.search_bool(should="import zzzabsentterm",
+                         minimum_should_match=2).count() == 0
+    with pytest.raises(ValueError, match="minimum_should_match"):
+        s.search_bool(should="import", minimum_should_match=-1)
