@@ -350,6 +350,28 @@ def _mget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.get_docs(MGET_IDS, fields=["lang", "n_chars"])
 
 
+PCT = [25.0, 50.0, 75.0, 95.0, 99.0]
+
+
+def _percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``percentiles`` aggregation (Searcher.facet_percentiles), exact
+    mode for the oracle (SQL ``percentile`` == ``quantile_cont`` linear
+    interpolation); the approx_percentile GK-sketch mode is the 100 TB
+    path (pytest-gated against exact)."""
+    s = _get_searcher(spark, sf_dir)
+    return s.facet_percentiles(FACET_QUERY, "n_chars", PCT)
+
+
+def _top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``terms`` bucket + ``top_hits`` sub-aggregation / field
+    collapsing (Searcher.facet_top_hits): top-2 docs by n_chars within
+    each of the 3 largest lang buckets of the match set — a
+    WindowGroupLimit per-bucket top-k, no driver collect."""
+    s = _get_searcher(spark, sf_dir)
+    return s.facet_top_hits(FACET_QUERY, by="lang", sort_by="n_chars",
+                            hits_per_bucket=2, buckets=3)
+
+
 #: more_like_this source doc (exists at every driver sf)
 MLT_DOC = 42
 
@@ -594,6 +616,36 @@ WHERE doc_id IN (SELECT doc_id FROM m)
 ORDER BY n_chars DESC, doc_id LIMIT {k} OFFSET {from_}"""
 
 
+def _percentiles_sql(query: str, percents: list[float]) -> str:
+    """DuckDB twin of Searcher.facet_percentiles (exact): quantile_cont
+    == SQL percentile's linear interpolation."""
+    legs = "\nUNION ALL ".join(
+        f"SELECT {p!r} AS percent, "
+        f"ROUND(quantile_cont(v, {p / 100.0!r}), 6) AS value FROM vals"
+        for p in percents)
+    return _match_ids_sql(query) + f""",
+vals AS (SELECT n_chars AS v FROM documents
+         WHERE doc_id IN (SELECT doc_id FROM m))
+{legs}
+ORDER BY percent"""
+
+
+def _top_hits_sql(query: str, hits: int, buckets: int) -> str:
+    """DuckDB twin of Searcher.facet_top_hits: largest lang buckets of
+    the match set, per-bucket top docs by n_chars desc (doc_id tiebreak)."""
+    return _match_ids_sql(query) + f""",
+j AS (SELECT CAST(lang AS VARCHAR) AS value, doc_id, n_chars
+      FROM documents WHERE doc_id IN (SELECT doc_id FROM m)),
+b AS (SELECT value FROM j GROUP BY value
+      ORDER BY count(*) DESC, value ASC LIMIT {buckets}),
+r AS (SELECT value, doc_id, n_chars,
+             row_number() OVER (PARTITION BY value
+                                ORDER BY n_chars DESC, doc_id ASC) AS rk
+      FROM j WHERE value IN (SELECT value FROM b))
+SELECT value, doc_id, n_chars FROM r WHERE rk <= {hits}
+ORDER BY value, rk"""
+
+
 def _bool_msm_sql(should: str, msm: int, k: int) -> str:
     """DuckDB twin of Searcher.search_bool(minimum_should_match=msm):
     candidates hold >= msm distinct should terms; BM25 over the should
@@ -796,6 +848,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["count_filtered"] = _count_api
     q["explain_score"] = _explain
     q["sorted_page_after"] = _sorted_after
+    q["facet_percentiles"] = _percentiles
+    q["facet_top_hits"] = _top_hits
     q["bool_min_should_match"] = _bool_msm
     q["mget_fields"] = _mget
     # bm25_topk_*: the pure-DataFrame scoring twin (cross-check path).
@@ -1057,6 +1111,8 @@ def oracle_sql() -> dict[str, str]:
     o["explain_score"] = _explain_sql(FACET_QUERY, MLT_DOC)
     # search_after page 2 == OFFSET page 2 by contract (test-asserted)
     o["sorted_page_after"] = _sorted_sql(FACET_QUERY, 10, 10)
+    o["facet_percentiles"] = _percentiles_sql(FACET_QUERY, PCT)
+    o["facet_top_hits"] = _top_hits_sql(FACET_QUERY, 2, 3)
     o["bool_min_should_match"] = _bool_msm_sql(FACET_QUERY, 2, 10)
     o["mget_fields"] = _mget_sql(MGET_IDS)
     o["facet_histogram_dl"] = _facet_hist_sql(FACET_QUERY,

@@ -193,8 +193,14 @@ def main(argv: list[str] | None = None) -> int:
     fa.add_argument("--cardinality", default=None, metavar="FIELD",
                     help="cardinality agg: distinct values of FIELD")
     fa.add_argument("--approx", action="store_true",
-                    help="with --cardinality: HyperLogLog++ estimate "
-                         "(fixed memory; the at-scale mode)")
+                    help="with --cardinality/--percentiles: sketch "
+                         "estimate (fixed memory; the at-scale mode)")
+    fa.add_argument("--percentiles", default=None, metavar="FIELD",
+                    help="percentiles agg over FIELD (25/50/75/95/99)")
+    fa.add_argument("--top-hits", dest="top_hits", default=None,
+                    metavar="BUCKET_FIELD,SORT_FIELD",
+                    help="terms bucket + top_hits: per-bucket top docs "
+                         "by the sort field (--size hits per bucket)")
     fa.add_argument("--size", type=int, default=10)
 
     sm = sub.add_parser("search-many",
@@ -447,9 +453,19 @@ def main(argv: list[str] | None = None) -> int:
             out = searcher.facet_cardinality(args.query, args.cardinality,
                                              filters=filters,
                                              exact=not args.approx)
+        elif args.percentiles is not None:
+            out = searcher.facet_percentiles(args.query, args.percentiles,
+                                             filters=filters,
+                                             exact=not args.approx)
+        elif args.top_hits is not None:
+            by, sort_by = args.top_hits.split(",", 1)
+            out = searcher.facet_top_hits(args.query, by=by,
+                                          sort_by=sort_by,
+                                          hits_per_bucket=args.size,
+                                          filters=filters)
         else:
             raise SystemExit("facet needs --terms, --histogram, --stats, "
-                             "or --cardinality")
+                             "--cardinality, --percentiles, or --top-hits")
         for row in out.collect():
             print(json.dumps(row.asDict()))
     elif args.cmd == "search-many":

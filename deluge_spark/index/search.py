@@ -36,7 +36,7 @@ from collections import OrderedDict
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from deluge_spark.functions.tokenizer import tokenize_py
@@ -1418,6 +1418,89 @@ class Searcher:
         c = (F.countDistinct("v") if exact
              else F.approx_count_distinct("v", rsd))
         return mv.agg(c.cast("long").alias("n_values"))
+
+    def facet_percentiles(self, query: str, field: str,
+                          percents: list[float] = (25.0, 50.0, 75.0,
+                                                   95.0, 99.0),
+                          filters: dict | None = None,
+                          exact: bool = True, accuracy: int = 10000,
+                          round_dp: int = 6) -> DataFrame:
+        """ES ``percentiles`` aggregation over a numeric stored field for
+        the match set → DataFrame(percent, value) ordered percent asc,
+        linear interpolation (SQL ``percentile``/``quantile_cont``
+        semantics — documented divergence from ES's TDigest estimates,
+        chosen so exact mode is ANSI-oracle-checkable).
+
+        ``exact=True`` runs Spark's exact ``percentile`` (one sort-based
+        aggregate over the matched values). ``exact=False`` is the 100 TB
+        path: ``approx_percentile`` (Greenwald-Khanna, fixed memory per
+        partition, merge-combinable) at the given ``accuracy`` — the same
+        bounded-sketch trade ES makes with TDigest."""
+        ps = [float(p) for p in percents]
+        if not ps or any(not 0.0 <= p <= 100.0 for p in ps):
+            raise ValueError("percents must be within [0, 100]")
+        mv = self._match_field(query, field, filters)
+        if mv is None:
+            return self.spark.createDataFrame(
+                [], "percent double, value double")
+        frac = ", ".join(repr(p / 100.0) for p in ps)
+        fn = "percentile" if exact else "approx_percentile"
+        extra = "" if exact else f", {int(accuracy)}"
+        agg = mv.select(F.expr(
+            f"{fn}(v, array({frac}){extra})").alias("q"))
+        pairs = F.arrays_zip(
+            F.array(*[F.lit(p) for p in ps]).alias("percent"),
+            F.col("q").cast("array<double>").alias("value"))
+        return (agg.select(F.explode(pairs).alias("pv"))
+                .select(F.col("pv.percent").alias("percent"),
+                        F.round(F.col("pv.value"), round_dp).alias("value"))
+                .orderBy("percent"))
+
+    def facet_top_hits(self, query: str, by: str, sort_by: str,
+                       hits_per_bucket: int = 3, buckets: int = 10,
+                       ascending: bool = False,
+                       filters: dict | None = None) -> DataFrame:
+        """ES ``top_hits`` sub-aggregation under a ``terms`` bucket (also
+        the shape of ES field collapsing): for the ``buckets`` largest
+        values of ``by`` over the match set, the top ``hits_per_bucket``
+        docs ranked by the ``sort_by`` stored field → DataFrame(value,
+        doc_id, <sort_by>) ordered (value asc, rank).
+
+        One distributed plan: pushed postings decode → semi-join the two
+        stored columns → bucket top-k via a ``row_number`` window
+        partitioned by ``by`` (per-bucket heap, map-side partial possible
+        through the rank filter) → broadcast-join the surviving bucket
+        list. No driver collect; skew in a hot bucket is bounded by the
+        window's per-partition top-k."""
+        ids = self._match_ids(query, filters)
+        if ids is None:
+            return self.spark.createDataFrame(
+                [], f"value string, doc_id long, {sort_by} long")
+        docs = self.spark.read.parquet(self._docs_path)
+        if sort_by == "dl":  # dl lives in the per-doc meta table
+            meta = self.spark.read.parquet(self._meta_path) \
+                .select("doc_id", "dl")
+            base = (docs.select("doc_id", F.col(by).alias("value"))
+                    .join(meta, "doc_id"))
+        else:
+            base = docs.select("doc_id", F.col(by).alias("value"),
+                               F.col(sort_by))
+        mv = base.join(ids, "doc_id", "left_semi")
+        top_buckets = (mv.groupBy("value")
+                       .agg(F.count("*").alias("_n"))
+                       .orderBy(F.col("_n").desc(),
+                                F.col("value").asc())
+                       .limit(buckets).select("value"))
+        key = (F.col(sort_by).asc() if ascending
+               else F.col(sort_by).desc())
+        w = Window.partitionBy("value").orderBy(key,
+                                                F.col("doc_id").asc())
+        ranked = (mv.join(F.broadcast(top_buckets), "value", "left_semi")
+                  .withColumn("_rk", F.row_number().over(w))
+                  .filter(F.col("_rk") <= hits_per_bucket))
+        return (ranked.select("value", "doc_id", sort_by, "_rk")
+                .orderBy(F.col("value").asc(), F.col("_rk").asc())
+                .drop("_rk"))
 
     def search_sorted(self, query: str, sort_by: str, k: int = 10,
                       ascending: bool = False, from_: int = 0,

@@ -407,3 +407,65 @@ def test_get_docs_excludes_tombstones(spark, corpus_df, tmp_path_factory):
     delete_docs(spark, d, doc_ids=[ids[1]])
     got = Searcher(spark, d).get_docs(ids).collect()
     assert [r["doc_id"] for r in got] == sorted(set(ids) - {ids[1]})
+
+
+# -- facet_percentiles ------------------------------------------------------
+
+def test_facet_percentiles_exact_matches_numpy(searcher, oracle):
+    import numpy as np
+
+    m = _match_set(oracle, QUERY)
+    dls = np.array(sorted(oracle.dl[d] for d in m), dtype=float)
+    ps = [25.0, 50.0, 75.0, 95.0, 99.0]
+    got = searcher.facet_percentiles(QUERY, "dl", ps).collect()
+    assert [r["percent"] for r in got] == ps
+    for r in got:
+        # SQL percentile == numpy linear interpolation
+        assert r["value"] == pytest.approx(
+            round(float(np.percentile(dls, r["percent"])), 6), abs=1e-6)
+
+
+def test_facet_percentiles_approx_and_validation(searcher, oracle):
+    import numpy as np
+
+    m = _match_set(oracle, QUERY)
+    dls = np.array(sorted(oracle.dl[d] for d in m), dtype=float)
+    approx = searcher.facet_percentiles(QUERY, "dl", [50.0],
+                                        exact=False).collect()[0]
+    # GK sketch at default accuracy is rank-exact at this size
+    lo, hi = np.percentile(dls, 40), np.percentile(dls, 60)
+    assert lo <= approx["value"] <= hi
+    with pytest.raises(ValueError, match="percents"):
+        searcher.facet_percentiles(QUERY, "dl", [101.0])
+    assert searcher.facet_percentiles("zzzabsentterm", "dl").count() == 0
+
+
+# -- facet_top_hits (terms bucket + top_hits / field collapsing) ------------
+
+def test_facet_top_hits_matches_brute_force(spark, searcher, index_dir,
+                                            oracle):
+    docs = spark.read.parquet(f"{index_dir}/docs")
+    # brute: per-lang buckets over the match set, top-2 by dl desc
+    m = _match_set(oracle, QUERY)
+    lang = {r["doc_id"]: r["lang"]
+            for r in docs.select("doc_id", "lang").collect()}
+    per = {}
+    for d in m:
+        per.setdefault(lang[d], []).append((oracle.dl[d], d))
+    buckets = sorted(per, key=lambda v: (-len(per[v]), v))[:3]
+    want = []
+    for v in sorted(buckets):
+        hits = sorted(per[v], key=lambda x: (-x[0], x[1]))[:2]
+        want.extend((v, d, dl) for dl, d in hits)
+    got = searcher.facet_top_hits(QUERY, by="lang", sort_by="dl",
+                                  hits_per_bucket=2, buckets=3).collect()
+    assert [(r["value"], r["doc_id"], r["dl"]) for r in got] == want
+
+
+def test_facet_top_hits_respects_filters_and_empty(searcher):
+    got = searcher.facet_top_hits(QUERY, by="lang", sort_by="dl",
+                                  hits_per_bucket=1, buckets=2,
+                                  filters={"lang": "go"}).collect()
+    assert {r["value"] for r in got} <= {"go"}
+    assert searcher.facet_top_hits("zzzabsentterm", by="lang",
+                                   sort_by="dl").count() == 0
