@@ -350,6 +350,50 @@ def _mget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.get_docs(MGET_IDS, fields=["lang", "n_chars"])
 
 
+_MULTIS: dict = {}
+
+
+def _get_multi(spark: SparkSession, sf_dir: str):
+    """Split the documents corpus into TWO independently-built indexes
+    (hash of the stable path, original doc_id dropped — each member
+    assigns its own ids) and return a cached MultiSearcher over them."""
+    key = (id(spark.sparkContext), sf_dir)
+    if key in _MULTIS:
+        return _MULTIS[key]
+    _ensure_shipped(spark)
+    from deluge_spark.corpus import documents_as_corpus
+    from deluge_spark.index.build import BuildConfig, build_index
+    from deluge_spark.index.multi import MultiSearcher
+
+    corpus = documents_as_corpus(spark, sf_dir).drop("doc_id")
+    dirs = []
+    for i in range(2):
+        part = corpus.filter(
+            F.pmod(F.xxhash64("path"), F.lit(2)) == i)
+        d = tempfile.mkdtemp(prefix=f"deluge_entry_multi{i}_")
+        build_index(spark, part, d,
+                    BuildConfig(num_shards=4, tokenize_groups=1,
+                                shard_batches=1, store_content=False))
+        dirs.append(d)
+    ms = MultiSearcher(spark, dirs)
+    _MULTIS[key] = ms
+    return ms
+
+
+def _multi_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES multi-index search (MultiSearcher, dfs_query_then_fetch-merged
+    stats): the corpus split across two independently-built indexes must
+    score EVERY matching doc exactly as one merged index — the oracle is
+    the plain single-corpus BM25 SQL. Original doc ids are recovered from
+    the stored path (source '/' doc_id) since members assign their own."""
+    ms = _get_multi(spark, sf_dir)
+    out = ms.search(FACET_QUERY, k=10**6, round_dp=SCORE_DP, fetch=True)
+    orig = F.element_at(F.split(F.col("path"), "/"), -1).cast("long")
+    return (out.select(orig.alias("doc_id"),
+                       F.round("score", SCORE_DP).alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+
+
 PCT = [25.0, 50.0, 75.0, 95.0, 99.0]
 
 
@@ -850,6 +894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sorted_page_after"] = _sorted_after
     q["facet_percentiles"] = _percentiles
     q["facet_top_hits"] = _top_hits
+    q["multi_index_search"] = _multi_index
     q["bool_min_should_match"] = _bool_msm
     q["mget_fields"] = _mget
     # bm25_topk_*: the pure-DataFrame scoring twin (cross-check path).
@@ -1113,6 +1158,9 @@ def oracle_sql() -> dict[str, str]:
     o["sorted_page_after"] = _sorted_sql(FACET_QUERY, 10, 10)
     o["facet_percentiles"] = _percentiles_sql(FACET_QUERY, PCT)
     o["facet_top_hits"] = _top_hits_sql(FACET_QUERY, 2, 3)
+    # the split invariant: two member indexes + merged stats == the
+    # single-corpus BM25 ranking over the ENTIRE match set
+    o["multi_index_search"] = _bm25_sql(FACET_QUERY, 10**6)
     o["bool_min_should_match"] = _bool_msm_sql(FACET_QUERY, 2, 10)
     o["mget_fields"] = _mget_sql(MGET_IDS)
     o["facet_histogram_dl"] = _facet_hist_sql(FACET_QUERY,
