@@ -109,7 +109,10 @@ def main(argv: list[str] | None = None) -> int:
                         "different source (otherwise StaleIndexError)")
 
     s = sub.add_parser("search")
-    s.add_argument("--index", required=True)
+    s.add_argument("--index", required=True, action="append",
+                   help="index dir; repeatable — multiple indexes search "
+                        "as one logical corpus (dfs-merged stats), plain "
+                        "--query only")
     s.add_argument("--query", default=None,
                    help="free (should) query; with --must/--must-not "
                         "this is the bool query's should clause")
@@ -351,7 +354,6 @@ def main(argv: list[str] | None = None) -> int:
         from deluge_spark.index.search import Searcher
 
         filters = _parse_filters(args.filter)
-        searcher = Searcher(spark, args.index)
         picked = [x for x in (args.query, args.phrase, args.prefix,
                               args.fuzzy) if x] \
             + [x for x in (args.must, args.must_not) if x] \
@@ -359,6 +361,19 @@ def main(argv: list[str] | None = None) -> int:
         if not picked:
             raise SystemExit("search needs --query, --must/--must-not, "
                              "--phrase, --prefix, --fuzzy, or --like")
+        if len(args.index) > 1:
+            from deluge_spark.index.multi import MultiSearcher
+
+            if picked != [args.query]:
+                raise SystemExit("multiple --index supports plain "
+                                 "--query search only")
+            ms = MultiSearcher(spark, args.index)
+            out = ms.search(args.query, args.k, filters=filters or None,
+                            fetch=args.fetch)
+            for row in out.collect():
+                print(json.dumps(row.asDict()))
+            return 0
+        searcher = Searcher(spark, args.index[0])
         if args.like is not None:
             out = searcher.more_like_this(args.like, args.k,
                                           filters=filters,

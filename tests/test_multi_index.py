@@ -111,3 +111,23 @@ def test_multi_respects_member_tombstones(spark, tri, tmp_path_factory):
 def test_multi_validates_inputs(spark, tri):
     with pytest.raises(ValueError, match="at least one"):
         MultiSearcher(spark, [])
+
+
+def test_cli_multi_index_search(spark, tri):
+    import json
+    import subprocess
+    import sys
+
+    full, halves = tri
+    p = subprocess.run([sys.executable, "-m", "deluge_spark.cli",
+                        "--cores", "4", "search",
+                        "--index", halves[0], "--index", halves[1],
+                        "--query", Q, "-k", "5"],
+                       capture_output=True, text=True, timeout=600,
+                       cwd="/root/repo")
+    assert p.returncode == 0, p.stderr[-2000:]
+    rows = [json.loads(x) for x in p.stdout.splitlines()
+            if x.startswith("{")]
+    api = MultiSearcher(spark, halves).search(Q, k=5).collect()
+    assert [(r["index"], r["doc_id"]) for r in rows] \
+        == [(r["index"], r["doc_id"]) for r in api]
