@@ -423,12 +423,7 @@ class Searcher:
             out = self._distributed(seg, idfs, avgdl, k, round_dp, filters)
 
         if fetch:
-            docs = self.spark.read.parquet(self._docs_path)
-            cols = [c for c in ("repo", "path", "commit", "lang", "doc_len")
-                    if c in docs.columns]
-            out = out.join(F.broadcast(docs.select("doc_id", *cols)
-                                       .join(out.select("doc_id"), "doc_id",
-                                             "left_semi")), "doc_id")
+            out = self._fetch_fields(out)
         return out.orderBy(F.round("score", round_dp).desc(),
                            F.col("doc_id").asc())
 
@@ -1166,8 +1161,8 @@ class Searcher:
         if not terms:
             return self.spark.createDataFrame(
                 [], "doc_id long, score double, snippet string")
-        out = self.search(query, k, filters=filters, mode=mode,
-                          round_dp=round_dp)
+        out = self._pin_small(self.search(query, k, filters=filters,
+                                          mode=mode, round_dp=round_dp))
         content = self._content_source(content_df, content_col,
                                        "highlight")
         joined = out.join(F.broadcast(
@@ -1550,9 +1545,24 @@ class Searcher:
             out = out.orderBy(key, F.col("doc_id").asc())
         return out
 
+    def _pin_small(self, out: DataFrame) -> DataFrame:
+        """Materialize a provably-small (top-k) result frame driver-side.
+
+        Plans that reference the search result TWICE — stored-field fetch
+        (result join + semi-join id list) and highlight's snippet join —
+        would otherwise execute the entire scoring subtree twice: Spark
+        does not deduplicate a repeated FlatMapGroupsInPandas subtree
+        (plan-audited in tests/test_plan_audit.py). Collecting the k rows
+        costs one job over the tiny frame and makes every downstream
+        reference a local relation."""
+        rows = out.collect()
+        return self.spark.createDataFrame(rows, out.schema)
+
     def _fetch_fields(self, out: DataFrame) -> DataFrame:
         """B6 stored-field fetch: broadcast semi-join of the doc fields
-        onto a (small) result frame."""
+        onto a (small) result frame. Pins the result driver-side first —
+        see ``_pin_small`` (the scoring subtree must not run twice)."""
+        out = self._pin_small(out)
         docs = self.spark.read.parquet(self._docs_path)
         cols = [c for c in ("repo", "path", "commit", "lang", "doc_len")
                 if c in docs.columns and c not in out.columns]

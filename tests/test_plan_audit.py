@@ -110,3 +110,15 @@ def test_oversize_tombstone_path_no_driver_materialization(spark, index_dir,
     plan = _physical(s.search("import return", 5, mode="distributed"))
     assert "tombstones" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_fetch_and_highlight_never_rescore_twice(spark, index_dir):
+    """fetch=True / highlight reference the top-k result in two plan
+    branches; without the driver-side pin the whole FlatMapGroupsInPandas
+    scoring subtree executes twice. The returned plan must contain ZERO
+    scoring nodes (the single scoring pass already ran inside the pin)."""
+    s = Searcher(spark, index_dir)
+    for df in (s.search("import return", 5, mode="distributed",
+                        fetch=True),
+               s.highlight("import return", k=5, mode="distributed")):
+        assert "FlatMapGroupsInPandas" not in _physical(df)
