@@ -264,6 +264,34 @@ def _bm25_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("score").desc(), F.col("doc_id").asc()))
 
 
+WILDCARD_SPEC = ("*oi*", 6, 10)  # (pattern, max_expansions, k)
+BOOST_SPEC = {"spark": 2.5, "join": 0.5}
+
+
+def _bm25_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard engine path (Searcher.search_wildcard): dictionary
+    expansion of the * / ? pattern (df desc, term asc, capped) scored as
+    a disjunction — a leading wildcard costs one dictionary pass, not a
+    Lucene index walk."""
+    s = _get_searcher(spark, sf_dir)
+    pat, max_exp, k = WILDCARD_SPEC
+    out = s.search_wildcard(pat, k=k, max_expansions=max_exp,
+                            mode="distributed", round_dp=SCORE_DP)
+    return (out.select("doc_id", F.round("score", SCORE_DP).alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+
+
+def _bm25_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-term query boosts (ES term^boost, Searcher.search_bool
+    boosts=): each term's idf — and therefore its WAND upper bound —
+    scales by the boost, so pruning stays exact under boosting."""
+    s = _get_searcher(spark, sf_dir)
+    out = s.search_bool(should=FACET_QUERY, k=10, boosts=BOOST_SPEC,
+                        mode="distributed", round_dp=SCORE_DP)
+    return (out.select("doc_id", F.round("score", SCORE_DP).alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+
+
 #: facet aggregation specs (round 5): ES aggs parity over the match set
 FACET_QUERY = "spark join table"
 FACET_HIST_INTERVAL = 64
@@ -660,6 +688,42 @@ WHERE doc_id IN (SELECT doc_id FROM m)
 ORDER BY n_chars DESC, doc_id LIMIT {k} OFFSET {from_}"""
 
 
+def _wildcard_sql(pattern: str, max_expansions: int, k: int) -> str:
+    """DuckDB twin of Searcher.search_wildcard: expansion = terms LIKE
+    the translated pattern (* -> %, ? -> _), (df desc, term asc) capped,
+    scored as a disjunction with per-term idf."""
+    like = pattern.lower().replace("*", "%").replace("?", "_")
+    body = f""", dft AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), exp AS (
+  SELECT term FROM dft WHERE term LIKE '{like}'
+  ORDER BY df DESC, term LIMIT {max_expansions}
+), m AS (SELECT tf.* FROM tf WHERE term IN (SELECT term FROM exp))"""
+    return _bm25_scaffold() + body + _bm25_score_tail(k)
+
+
+def _boost_sql(should: str, boosts: dict[str, float], k: int) -> str:
+    """DuckDB twin of search_bool(boosts=): per-term boost multiplies the
+    idf inside the BM25 sum."""
+    s = list(dict.fromkeys(tokenize_py(should, "code")))
+    vals = ", ".join(f"('{t}', {float(boosts.get(t, 1.0))!r})" for t in s)
+    return _bm25_scaffold() + f""", q(term, boost) AS (VALUES {vals}),
+m AS (SELECT tf.* FROM tf WHERE term IN (SELECT term FROM q)),
+idf AS (
+  SELECT term, ln(1.0 + (stats.n - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+  FROM m CROSS JOIN stats GROUP BY term, stats.n
+), scored AS (
+  SELECT m.doc_id,
+         sum(q.boost * idf.idf * (m.tf * ({K1} + 1.0))
+             / (m.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl))) AS s
+  FROM m JOIN idf USING (term) JOIN q USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY m.doc_id
+)
+SELECT doc_id, ROUND(s, {SCORE_DP}) AS score FROM scored
+ORDER BY ROUND(s, {SCORE_DP}) DESC, doc_id LIMIT {k}"""
+
+
 def _percentiles_sql(query: str, percents: list[float]) -> str:
     """DuckDB twin of Searcher.facet_percentiles (exact): quantile_cont
     == SQL percentile's linear interpolation."""
@@ -895,6 +959,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["facet_percentiles"] = _percentiles
     q["facet_top_hits"] = _top_hits
     q["multi_index_search"] = _multi_index
+    q["bm25_wildcard"] = _bm25_wildcard
+    q["bool_boosted"] = _bm25_boosted
     q["bool_min_should_match"] = _bool_msm
     q["mget_fields"] = _mget
     # bm25_topk_*: the pure-DataFrame scoring twin (cross-check path).
@@ -1161,6 +1227,8 @@ def oracle_sql() -> dict[str, str]:
     # the split invariant: two member indexes + merged stats == the
     # single-corpus BM25 ranking over the ENTIRE match set
     o["multi_index_search"] = _bm25_sql(FACET_QUERY, 10**6)
+    o["bm25_wildcard"] = _wildcard_sql(*WILDCARD_SPEC)
+    o["bool_boosted"] = _boost_sql(FACET_QUERY, BOOST_SPEC, 10)
     o["bool_min_should_match"] = _bool_msm_sql(FACET_QUERY, 2, 10)
     o["mget_fields"] = _mget_sql(MGET_IDS)
     o["facet_histogram_dl"] = _facet_hist_sql(FACET_QUERY,

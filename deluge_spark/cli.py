@@ -129,6 +129,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="exact-phrase query (adjacent analyzed tokens)")
     s.add_argument("--prefix", default=None,
                    help="prefix query (dictionary expansion, df-desc)")
+    s.add_argument("--wildcard", default=None,
+                   help="wildcard query (* / ?, dictionary expansion)")
+    s.add_argument("--boost", action="append", default=[],
+                   metavar="TERM=FACTOR",
+                   help="repeatable per-term score boost (ES term^boost) "
+                        "for --query / --must bool searches")
     s.add_argument("--fuzzy", default=None,
                    help="fuzzy query term (dictionary expansion within "
                         "--max-edits Levenshtein edits)")
@@ -355,12 +361,13 @@ def main(argv: list[str] | None = None) -> int:
 
         filters = _parse_filters(args.filter)
         picked = [x for x in (args.query, args.phrase, args.prefix,
-                              args.fuzzy) if x] \
+                              args.wildcard, args.fuzzy) if x] \
             + [x for x in (args.must, args.must_not) if x] \
             + ([args.like] if args.like is not None else [])
         if not picked:
             raise SystemExit("search needs --query, --must/--must-not, "
-                             "--phrase, --prefix, --fuzzy, or --like")
+                             "--phrase, --prefix, --wildcard, --fuzzy, "
+                             "or --like")
         if len(args.index) > 1:
             from deluge_spark.index.multi import MultiSearcher
 
@@ -415,11 +422,21 @@ def main(argv: list[str] | None = None) -> int:
             out = searcher.search_prefix(args.prefix, args.k,
                                          args.max_expansions, filters,
                                          fetch=args.fetch)
-        elif args.must is not None or args.must_not is not None:
+        elif args.wildcard is not None:
+            out = searcher.search_wildcard(args.wildcard, args.k,
+                                           args.max_expansions, filters,
+                                           fetch=args.fetch)
+        elif args.must is not None or args.must_not is not None \
+                or args.boost:
+            boosts = None
+            if args.boost:
+                boosts = {t: float(v) for t, v in
+                          (b.split("=", 1) for b in args.boost)}
             out = searcher.search_bool(must=args.must, should=args.query,
                                        must_not=args.must_not, k=args.k,
                                        filters=filters, fetch=args.fetch,
-                                       minimum_should_match=args.msm)
+                                       minimum_should_match=args.msm,
+                                       boosts=boosts)
         elif args.fetch:
             out = searcher.search(args.query, args.k, filters, fetch=True)
         else:

@@ -734,6 +734,18 @@ class Searcher:
                 banned = mb if banned is None else np.union1d(banned, mb)
         return allowed, banned, False
 
+    @staticmethod
+    def _boosted(idfs: dict[str, float],
+                 boosts: dict[str, float] | None) -> dict[str, float]:
+        """Apply ES ``term^boost`` multipliers to the idf table (scores
+        AND WAND upper bounds scale together, so pruning stays exact)."""
+        if not boosts:
+            return idfs
+        bad = {t: b for t, b in boosts.items() if b <= 0}
+        if bad:
+            raise ValueError(f"boosts must be positive: {bad}")
+        return {t: v * float(boosts.get(t, 1.0)) for t, v in idfs.items()}
+
     def _bool_terms(self, must, should, must_not):
         """Shared clause normalization + dictionary lookup for the bool
         paths. Returns (must, should, must_not token lists, dfs over all
@@ -768,7 +780,8 @@ class Searcher:
                           k: int = 10,
                           filters: dict[str, str] | None = None,
                           round_dp: int = 9,
-                          minimum_should_match: int = 0
+                          minimum_should_match: int = 0,
+                          boosts: dict[str, float] | None = None
                           ) -> list[tuple[int, float]]:
         """Coordinator-mode boolean search (ES ``bool`` query semantics):
         docs must contain EVERY ``must`` token, may contain ``should``
@@ -789,6 +802,7 @@ class Searcher:
         if bt is None:
             return []
         m, scoring, mn, dfs, idfs = bt
+        idfs = self._boosted(idfs, boosts)
         avgdl = float(self.stats["avgdl"])
         allowed = self._allowed_ids(filters)
         rows = self._fetch_term_rows(list(dict.fromkeys(
@@ -870,7 +884,8 @@ class Searcher:
                     filters: dict[str, str] | None = None,
                     mode: str = "auto", round_dp: int = 9,
                     fetch: bool = False,
-                    minimum_should_match: int = 0) -> DataFrame:
+                    minimum_should_match: int = 0,
+                    boosts: dict[str, float] | None = None) -> DataFrame:
         """Boolean top-k BM25 search → DataFrame(doc_id, score[, fields]).
 
         ES ``bool`` query parity (B5/B7 extension): ``must`` tokens are a
@@ -883,13 +898,19 @@ class Searcher:
         ``minimum_should_match`` (ES semantics): candidates must contain
         at least that many distinct ``should`` terms; 0 keeps the default
         (should-optional with a must, any-should without one). Scores are
-        unchanged — the constraint only gates candidacy."""
+        unchanged — the constraint only gates candidacy.
+
+        ``boosts`` (ES ``term^boost``): per-analyzed-token multiplier on
+        that term's score contribution — applied to the term's idf, so
+        WAND's per-term upper bounds scale with it and pruning stays
+        exact."""
         if minimum_should_match < 0:
             raise ValueError("minimum_should_match must be >= 0")
         bt = self._bool_terms(must, should, must_not)
         if bt is None:
             return self._empty()
         m, scoring, mn, dfs, idfs = bt
+        idfs = self._boosted(idfs, boosts)
         avgdl = float(self.stats["avgdl"])
         seg = self._segments().filter(
             F.col("term").isin(list(dict.fromkeys(m + scoring + mn))))
@@ -904,7 +925,7 @@ class Searcher:
             try:
                 top = self.search_bool_local(must, should, must_not, k,
                                              filters, round_dp,
-                                             minimum_should_match)
+                                             minimum_should_match, boosts)
                 out = self.spark.createDataFrame(
                     [(int(d), float(s)) for d, s in top], RESULT_SCHEMA)
             except (FilterTooUnselective, TombstonesTooLarge):
@@ -1014,6 +1035,53 @@ class Searcher:
         (df-desc, capped at ``max_expansions``), then score the expanded
         terms as a disjunction with each term's own idf."""
         terms = self.expand_prefix(prefix, max_expansions)
+        if not terms:
+            return self._empty()
+        return self.search_bool(should=terms, k=k, filters=filters,
+                                mode=mode, round_dp=round_dp, fetch=fetch)
+
+    def expand_wildcard(self, pattern: str,
+                        max_expansions: int = 50) -> list[str]:
+        """Dictionary expansion for ES ``wildcard`` queries: ``*`` = any
+        run, ``?`` = one char, anchored at both ends; highest-df first
+        then lexicographic, capped at ``max_expansions``. The scan is one
+        pass over the driver-cached dictionary (or a pushed startswith
+        prefix scan of the tiny terms table) — a leading wildcard costs
+        the same dictionary pass, not the index walk it costs Lucene."""
+        import fnmatch
+
+        p = pattern.lower()
+        if not p.strip("*?"):
+            raise ValueError("wildcard pattern needs at least one "
+                             "literal character")
+        if self._df_map is not None:
+            cand = [(t, d) for t, d in self._df_map.items()
+                    if fnmatch.fnmatchcase(t, p)]
+            cand.sort(key=lambda x: (-x[1], x[0]))
+            return [t for t, _ in cand[:max_expansions]]
+        terms = self.spark.read.parquet(self._terms_path)
+        lead = p.split("*", 1)[0].split("?", 1)[0]
+        if lead:  # anchor a literal prefix so the scan prunes
+            terms = terms.filter(F.col("term").startswith(lead))
+        # analyzed terms are [a-z0-9]+ (no literal % or _), so the LIKE
+        # translation needs no escaping
+        like = p.replace("*", "%").replace("?", "_")
+        rows = (terms.filter(F.col("term").like(like))
+                .select("term", "df")
+                .orderBy(F.col("df").desc(), F.col("term").asc())
+                .limit(max_expansions).collect())
+        return [r["term"] for r in rows]
+
+    def search_wildcard(self, pattern: str, k: int = 10,
+                        max_expansions: int = 50,
+                        filters: dict | None = None,
+                        mode: str = "auto", round_dp: int = 9,
+                        fetch: bool = False) -> DataFrame:
+        """Wildcard top-k search (ES ``wildcard`` query with
+        ``rewrite=scoring_boolean``): expand against the dictionary, then
+        score the expansions as a disjunction with per-term idf — the
+        same rewrite/scoring path as prefix and fuzzy."""
+        terms = self.expand_wildcard(pattern, max_expansions)
         if not terms:
             return self._empty()
         return self.search_bool(should=terms, k=k, filters=filters,

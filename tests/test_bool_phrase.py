@@ -451,3 +451,52 @@ def test_bool_msm_edges(spark, bp_idx):
                          minimum_should_match=2).count() == 0
     with pytest.raises(ValueError, match="minimum_should_match"):
         s.search_bool(should="import", minimum_should_match=-1)
+
+
+# -- wildcard + boosts ------------------------------------------------------
+
+def test_wildcard_expansion_and_search(spark, bp_idx, oracle):
+    import fnmatch
+
+    s = Searcher(spark, bp_idx)
+    for pat in ("imp*", "*turn", "d?ta", "*at*"):
+        want_terms = sorted((t for t in oracle.df
+                             if fnmatch.fnmatchcase(t, pat)),
+                            key=lambda t: (-oracle.df[t], t))[:50]
+        assert s.expand_wildcard(pat) == want_terms, pat
+        if not want_terms:
+            continue
+        got = _got(s.search_wildcard(pat, k=10))
+        want = brute_bool(oracle, None, want_terms, None)
+        assert got == want, pat
+    # driver-dictionary expansion == pushed terms-table scan
+    s2 = Searcher(spark, bp_idx, cache_stats=False)
+    assert s2._df_map is None or s2._df_map == {}
+    for pat in ("imp*", "*turn", "d?ta"):
+        assert Searcher.expand_wildcard(s2, pat) == s.expand_wildcard(pat)
+    with pytest.raises(ValueError, match="literal"):
+        s.expand_wildcard("*")
+
+
+def test_boosts_scale_contributions(spark, bp_idx, oracle):
+    s = Searcher(spark, bp_idx)
+    boosts = {"import": 3.0, "return": 0.5}
+    # brute: BM25 with idf scaled per term
+    out = []
+    for doc_id, c in oracle.tf.items():
+        sc = sum(boosts.get(t, 1.0) * oracle.score([t], doc_id)
+                 for t in ("import", "return") if t in c)
+        if sc > 0:
+            out.append((doc_id, sc))
+    out.sort(key=lambda x: (-round(x[1], DP), x[0]))
+    want = [(d, round(sc, DP)) for d, sc in out[:10]]
+    for mode in ("coordinator", "distributed"):
+        got = _got(s.search_bool(should="import return", k=10, mode=mode,
+                                 boosts=boosts))
+        assert got == want, mode
+    # boost=1 everywhere is a no-op
+    assert _got(s.search_bool(should="import return", k=10,
+                              boosts={"import": 1.0})) \
+        == _got(s.search_bool(should="import return", k=10))
+    with pytest.raises(ValueError, match="positive"):
+        s.search_bool(should="import", boosts={"import": 0.0}).count()
