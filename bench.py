@@ -195,6 +195,22 @@ def main() -> None:
                             content_df=content_tbl,
                             content_col="text").collect()
     timings["q_mlt"] = round(time.time() - t0, 4)
+    # serving-API round-out (round 5b): wildcard dictionary expansion,
+    # search_after cursor page (the O(k) deep-paging path), per-bucket
+    # top_hits window
+    t0 = time.time()
+    searcher.search_wildcard("*alu*", 10).collect()
+    timings["q_wildcard"] = round(time.time() - t0, 4)
+    p1 = searcher.search_sorted("data value", "n_chars", k=10).collect()
+    t0 = time.time()
+    searcher.search_sorted(
+        "data value", "n_chars", k=10,
+        search_after=(p1[-1]["n_chars"], p1[-1]["doc_id"])).collect()
+    timings["q_search_after"] = round(time.time() - t0, 4)
+    t0 = time.time()
+    searcher.facet_top_hits("data value", by="lang", sort_by="n_chars",
+                            hits_per_bucket=3, buckets=5).collect()
+    timings["q_top_hits"] = round(time.time() - t0, 4)
     # reindex / clone to a new layout (no re-tokenize): exercises the
     # vectorized segments→postings decode (Arrow buffer-level, np.repeat)
     from deluge_spark.plans.admin import reindex
