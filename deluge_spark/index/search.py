@@ -564,6 +564,9 @@ class Searcher:
         out = (per_shard.withColumn("rn", F.row_number().over(w))
                .filter(F.col("rn") <= k).drop("rn"))
         if fetch:
+            # pin the (M·k)-row result first — the batch scoring subtree
+            # must not execute once per plan branch (see _pin_small)
+            out = self._pin_small(out)
             docs = self.spark.read.parquet(self._docs_path)
             cols = [c for c in ("repo", "path", "commit", "lang", "doc_len")
                     if c in docs.columns]
@@ -1529,12 +1532,15 @@ class Searcher:
         docs ranked by the ``sort_by`` stored field → DataFrame(value,
         doc_id, <sort_by>) ordered (value asc, rank).
 
-        One distributed plan: pushed postings decode → semi-join the two
-        stored columns → bucket top-k via a ``row_number`` window
-        partitioned by ``by`` (per-bucket heap, map-side partial possible
-        through the rank filter) → broadcast-join the surviving bucket
-        list. No driver collect; skew in a hot bucket is bounded by the
-        window's per-partition top-k."""
+        ONE linear distributed plan — the match set is decoded and
+        shuffled exactly once: pushed postings decode → semi-join the two
+        stored columns → a single shuffle on ``value`` feeding BOTH
+        per-bucket windows (bucket size via a count window, per-bucket
+        rank via ``row_number``) → rank filter reduces to
+        n_buckets × hits rows → a global ``dense_rank`` over that small
+        frame keeps the ``buckets`` largest buckets (rows of one bucket
+        share (size, value), so they share a dense rank). No driver
+        collect, no plan branch that would re-execute the decode."""
         ids = self._match_ids(query, filters)
         if ids is None:
             return self.spark.createDataFrame(
@@ -1549,19 +1555,18 @@ class Searcher:
             base = docs.select("doc_id", F.col(by).alias("value"),
                                F.col(sort_by))
         mv = base.join(ids, "doc_id", "left_semi")
-        top_buckets = (mv.groupBy("value")
-                       .agg(F.count("*").alias("_n"))
-                       .orderBy(F.col("_n").desc(),
-                                F.col("value").asc())
-                       .limit(buckets).select("value"))
         key = (F.col(sort_by).asc() if ascending
                else F.col(sort_by).desc())
-        w = Window.partitionBy("value").orderBy(key,
-                                                F.col("doc_id").asc())
-        ranked = (mv.join(F.broadcast(top_buckets), "value", "left_semi")
-                  .withColumn("_rk", F.row_number().over(w))
+        w_rank = Window.partitionBy("value").orderBy(
+            key, F.col("doc_id").asc())
+        w_size = Window.partitionBy("value")
+        ranked = (mv.withColumn("_n", F.count(F.lit(1)).over(w_size))
+                  .withColumn("_rk", F.row_number().over(w_rank))
                   .filter(F.col("_rk") <= hits_per_bucket))
-        return (ranked.select("value", "doc_id", sort_by, "_rk")
+        w_bucket = Window.orderBy(F.col("_n").desc(), F.col("value").asc())
+        out = (ranked.withColumn("_br", F.dense_rank().over(w_bucket))
+               .filter(F.col("_br") <= buckets))
+        return (out.select("value", "doc_id", sort_by, "_rk")
                 .orderBy(F.col("value").asc(), F.col("_rk").asc())
                 .drop("_rk"))
 
