@@ -323,6 +323,13 @@ segment rows) — intentionally single-node serving latency; it does not
 scale with cores by design (the distributed applyInPandas path is the
 cluster-scale query mode).
 """
+    # BASELINE.md is regenerated wholesale per run; the cross-round
+    # narrative lives in BASELINE_HISTORY.md and is appended verbatim so
+    # a re-run can't silently drop the archived evidence trail
+    hist = os.path.join(REPO, "BENCH", "BASELINE_HISTORY.md")
+    if os.path.exists(hist):
+        with open(hist) as f:
+            md += f.read()
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
     with open(os.path.join(REPO, "BENCH", "scaling_results.json"), "w") as f:
