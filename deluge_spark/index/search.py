@@ -1532,15 +1532,19 @@ class Searcher:
         docs ranked by the ``sort_by`` stored field → DataFrame(value,
         doc_id, <sort_by>) ordered (value asc, rank).
 
-        ONE linear distributed plan — the match set is decoded and
-        shuffled exactly once: pushed postings decode → semi-join the two
-        stored columns → a single shuffle on ``value`` feeding BOTH
-        per-bucket windows (bucket size via a count window, per-bucket
-        rank via ``row_number``) → rank filter reduces to
-        n_buckets × hits rows → a global ``dense_rank`` over that small
-        frame keeps the ``buckets`` largest buckets (rows of one bucket
-        share (size, value), so they share a dense rank). No driver
-        collect, no plan branch that would re-execute the decode."""
+        The match set is decoded and shuffled exactly once: pushed
+        postings decode → semi-join the two stored columns → a single
+        shuffle on ``value`` feeding BOTH per-bucket windows (bucket size
+        via a count window, per-bucket rank via ``row_number``) → rank
+        filter → that (distinct-values × hits)-row frame is persisted and
+        materialized ONCE, then referenced twice against the cache:
+        bucket selection runs as a parallel ``TakeOrderedAndProject``
+        over the one-row-per-bucket ``_rk == 1`` slice (NOT a global
+        unpartitioned window, which would funnel every bucket through a
+        single task at high facet cardinality), and the winners
+        broadcast-semi-join back. The final buckets × hits rows are
+        pinned driver-side so the returned frame holds no reference to
+        the decode subtree (see ``_pin_small``)."""
         ids = self._match_ids(query, filters)
         if ids is None:
             return self.spark.createDataFrame(
@@ -1562,13 +1566,22 @@ class Searcher:
         w_size = Window.partitionBy("value")
         ranked = (mv.withColumn("_n", F.count(F.lit(1)).over(w_size))
                   .withColumn("_rk", F.row_number().over(w_rank))
-                  .filter(F.col("_rk") <= hits_per_bucket))
-        w_bucket = Window.orderBy(F.col("_n").desc(), F.col("value").asc())
-        out = (ranked.withColumn("_br", F.dense_rank().over(w_bucket))
-               .filter(F.col("_br") <= buckets))
-        return (out.select("value", "doc_id", sort_by, "_rk")
-                .orderBy(F.col("value").asc(), F.col("_rk").asc())
-                .drop("_rk"))
+                  .filter(F.col("_rk") <= hits_per_bucket)
+                  .persist())
+        try:
+            ranked.count()  # materialize the cache so the two downstream
+            #                 references cannot race-recompute the decode
+            top = (ranked.filter(F.col("_rk") == 1)  # one row per bucket
+                   .select("value")
+                   .orderBy(F.col("_n").desc(), F.col("value").asc())
+                   .limit(buckets))
+            out = (ranked.join(F.broadcast(top), "value", "left_semi")
+                   .select("value", "doc_id", sort_by, "_rk")
+                   .orderBy(F.col("value").asc(), F.col("_rk").asc())
+                   .drop("_rk"))
+            return self._pin_small(out)
+        finally:
+            ranked.unpersist(blocking=False)
 
     def search_sorted(self, query: str, sort_by: str, k: int = 10,
                       ascending: bool = False, from_: int = 0,
