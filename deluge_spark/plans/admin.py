@@ -117,6 +117,96 @@ def index_summary(spark: SparkSession, index_dir: str) -> dict:
     }
 
 
+def _reset_stream_runs(man: Manifest) -> None:
+    """Drop the streaming tier state's live runs (they were just swallowed
+    into a compacted base batch; future deltas restart tiering from
+    empty), preserving the compacted-groups ledger and seq counter."""
+    st = man.get("stream_state")
+    if st and st.get("runs"):
+        man.commit("stream_state", runs=[],
+                   next_seq=int(st.get("next_seq", 0)),
+                   compacted_groups=list(st.get("compacted_groups", [])),
+                   num_shards=int(st.get("num_shards", 0) or 0))
+
+
+def _finish_compact_swap(index_dir: str, man: Manifest,
+                         glob_stats: dict | None, new_name: str) -> None:
+    """The commit sequence of a full compaction, idempotent so crash
+    recovery can re-run it: repoint the authoritative batch list, reset
+    the streaming tier state (its runs are inside ``new_name`` now), then
+    sweep every batch dir the new list no longer references. Sweep is
+    LAST — in every crash prefix either the old list is fully valid with
+    all its dirs intact, or the new list is."""
+    seg_root = os.path.join(index_dir, "segments")
+    if glob_stats is not None:
+        glob_stats["segment_batches"] = [new_name]
+        write_global_stats(index_dir, glob_stats)
+    live = {new_name}
+    _reset_stream_runs(man)
+    for d in sorted(os.listdir(seg_root)):   # replaced batches + orphans
+        if d.startswith("batch=") and d not in live:
+            shutil.rmtree(os.path.join(seg_root, d))
+
+
+def recover_compact_intent(index_dir: str) -> bool:
+    """Roll a crashed ``compact_segments`` swap forward (or abandon it).
+
+    ``compact_segments`` commits a ``compact_intent`` (new batch name +
+    the batch list it replaces) once the merged dir is durable, BEFORE the
+    global.json repoint / stream-state reset / sweep. Every admin entry
+    point that depends on batch-list ↔ tier-state consistency calls this
+    first:
+
+    - global.json still equals the replaced list, or already points at the
+      new batch → roll FORWARD (finish repoint + state reset + sweep —
+      without this, a crash between the repoint and the state reset leaves
+      ``stream_state`` naming run dirs the sweep deleted, and the next
+      ``finalize_segments`` would read nonexistent paths);
+    - global.json moved on (e.g. an append committed between the crash and
+      recovery, so the replaced list is stale) → ABANDON: repointing now
+      would clobber that later commit; the merged dir is left as an orphan
+      for the next compaction's sweep."""
+    man = Manifest(index_dir)
+    it = man.get("compact_intent")
+    if not it or it.get("done"):
+        return False
+    new_name = it["batch"]
+    replaced = list(it.get("replaced", []))
+    gpath = os.path.join(index_dir, "stats", "global.json")
+    glob_stats = None
+    if os.path.exists(gpath):
+        with open(gpath) as f:
+            glob_stats = json.load(f)
+    cur = list(glob_stats.get("segment_batches", [])) if glob_stats else []
+    seg_root = os.path.join(index_dir, "segments")
+    if new_name in cur:
+        # the repoint already landed (possibly followed by further commits
+        # — e.g. an append batch now alongside new_name): the replaced
+        # runs' postings live inside new_name, so finish the remaining
+        # steps — tier-state reset + sweep of exactly the replaced dirs —
+        # or the next finalize double-counts the swallowed stream runs
+        _reset_stream_runs(man)
+        for d in replaced:
+            p = os.path.join(seg_root, d)
+            if d not in cur and os.path.exists(p):
+                shutil.rmtree(p)
+        man.commit("compact_intent", done=True, batch=new_name)
+        return True
+    if (os.path.exists(os.path.join(seg_root, new_name))
+            and set(cur) <= set(replaced)):
+        # crash before the repoint and nothing else committed since (the
+        # intent may cover MORE than global — state-only stream runs it
+        # swallowed): run the full swap sequence
+        _finish_compact_swap(index_dir, man, glob_stats, new_name)
+        man.commit("compact_intent", done=True, batch=new_name)
+        return True
+    # a later commit (append/merge) landed after the crash and before the
+    # repoint: repointing now would clobber it — abandon; the merged dir
+    # is an orphan the next compaction sweeps
+    man.commit("compact_intent", done=True, batch=new_name, abandoned=True)
+    return False
+
+
 def compact_segments(spark: SparkSession, index_dir: str,
                      files_per_shard: int = 1) -> dict:
     """Squash every segment batch into ONE — the Lucene segment merge
@@ -130,14 +220,16 @@ def compact_segments(spark: SparkSession, index_dir: str,
     many appends preceded the compaction.
 
     Crash-safe ordering: the merged batch lands under a NEW unique name,
-    the authoritative batch list (stats/global.json — read_segments never
-    globs) is repointed, and only then are the replaced dirs removed; a
-    crash at any point leaves either the old list fully valid or the new
-    one, with at worst an orphan dir that the next compaction sweeps."""
+    then a ``compact_intent`` is committed (WAL) before the global.json
+    repoint → tier-state reset → sweep sequence, so a crash anywhere in
+    that sequence is rolled forward by ``recover_compact_intent`` at the
+    next admin entry point — the batch list and the streaming tier state
+    can never disagree about which run dirs exist."""
     import uuid
 
     from deluge_spark.index.build import _merge_partials_reencode
 
+    recover_compact_intent(index_dir)
     seg_root = os.path.join(index_dir, "segments")
     gpath = os.path.join(index_dir, "stats", "global.json")
     glob_stats = None
@@ -149,6 +241,15 @@ def compact_segments(spark: SparkSession, index_dir: str,
     if not old:    # legacy global.json: same glob fallback as read_segments
         old = [d for d in sorted(os.listdir(seg_root))
                if d.startswith("batch=")]
+    # a mid-finalize crash can leave a committed stream run in the tier
+    # state that global.json doesn't list yet — swallow it too, or the
+    # sweep would delete its postings
+    man = Manifest(index_dir)
+    st = man.get("stream_state")
+    for r in (st or {}).get("runs", []):
+        if (r["name"] not in old
+                and os.path.exists(os.path.join(seg_root, r["name"]))):
+            old.append(r["name"])
     seg = read_segments(spark, index_dir, batches=old)
     merged = _merge_partials_reencode(
         seg.withColumn("shard", F.col("shard").cast("int"))
@@ -161,22 +262,9 @@ def compact_segments(spark: SparkSession, index_dir: str,
     (merged.repartition(files_per_shard, "shard")
         .write.mode("overwrite").partitionBy("shard").parquet(tmp))
     os.rename(tmp, os.path.join(seg_root, new_name))
-    if glob_stats is not None:
-        glob_stats["segment_batches"] = [new_name]
-        write_global_stats(index_dir, glob_stats)
-    for d in sorted(os.listdir(seg_root)):   # replaced batches + orphans
-        if d.startswith("batch=") and d != new_name:
-            shutil.rmtree(os.path.join(seg_root, d))
-    man = Manifest(index_dir)
-    # a streaming index's tier state must drop runs this compaction just
-    # swallowed (they're in the new base batch now; future deltas restart
-    # the tiering from empty)
-    st = man.get("stream_state")
-    if st:
-        man.commit("stream_state", runs=[],
-                   next_seq=int(st.get("next_seq", 0)),
-                   compacted_groups=list(st.get("compacted_groups", [])),
-                   num_shards=int(st.get("num_shards", 0) or 0))
+    man.commit("compact_intent", batch=new_name, replaced=old)
+    _finish_compact_swap(index_dir, man, glob_stats, new_name)
+    man.commit("compact_intent", done=True, batch=new_name)
     man.commit("compaction", files_per_shard=files_per_shard,
                replaced=old, batch=new_name)
     n_files = sum(
@@ -200,6 +288,7 @@ def merge_small_batches(spark: SparkSession, index_dir: str,
 
     from deluge_spark.index.build import _merge_partials_reencode
 
+    recover_compact_intent(index_dir)
     glob = read_global_stats(index_dir)
     batches = list(glob.get("segment_batches", []))
     if len(batches) <= keep:
@@ -481,6 +570,7 @@ def append_docs(spark: SparkSession, index_dir: str,
         unpersist_assigned,
     )
 
+    recover_compact_intent(index_dir)
     stats = read_global_stats(index_dir)
     num_shards = int(stats["num_shards"])
     mode = stats.get("tokenizer_mode", "code")

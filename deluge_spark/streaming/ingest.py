@@ -246,6 +246,25 @@ def _write_run(spark: SparkSession, man: Manifest, seg_root: str,
     return name
 
 
+def _sweep_orphan_runs(seg_root: str, gpath: str, state: dict) -> None:
+    """Delete ``batch=stream_r*`` dirs referenced by NEITHER the tier
+    state nor global.json's batch list — the storage leak a crash between
+    a merge intent's done-mark and its input deletion leaves behind (the
+    merged output already carries those postings; queries never read
+    unlisted dirs, so this is pure space reclamation). Runs only after
+    intent recovery, so a not-yet-committed run can't be mistaken for an
+    orphan."""
+    live = {r["name"] for r in state["runs"]}
+    if os.path.exists(gpath):
+        with open(gpath) as f:
+            live |= set(json.load(f).get("segment_batches", []))
+    if not os.path.isdir(seg_root):
+        return
+    for d in os.listdir(seg_root):
+        if d.startswith("batch=stream_r") and d not in live:
+            shutil.rmtree(os.path.join(seg_root, d))
+
+
 def _pick_tier_merge(runs: list[dict], k: int) -> list[dict] | None:
     """Size-tiered pick: the K smallest runs of any size bucket
     (floor(log_K postings)) holding ≥ K runs; None when nothing to do."""
@@ -301,9 +320,14 @@ def finalize_segments(spark: SparkSession, index_dir: str,
     ``runs`` (live run names) and ``tier_merges`` (cascade merges done).
     """
     from deluge_spark.index.build import read_segments
+    from deluge_spark.plans.admin import recover_compact_intent
 
     if tier_factor < 2:
         raise ValueError("tier_factor must be ≥ 2")
+    # a compact_segments crashed mid-swap must be resolved FIRST — its
+    # roll-forward is what keeps the tier state consistent with the batch
+    # list this function is about to trust
+    recover_compact_intent(index_dir)
     man = Manifest(index_dir)
     partials_path = os.path.join(index_dir, "partials")
     seg_root = os.path.join(index_dir, "segments")
@@ -315,6 +339,7 @@ def finalize_segments(spark: SparkSession, index_dir: str,
 
     state = _load_stream_state(spark, index_dir, man)
     dirty = _recover_stream_intent(man, seg_root, state)
+    _sweep_orphan_runs(seg_root, gpath, state)
     new_groups = [g for g in all_groups
                   if g not in set(state["compacted_groups"])]
 
