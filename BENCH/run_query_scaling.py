@@ -1,0 +1,180 @@
+"""Two-level scaling evidence for the QUERY path (north rule: BM25 query
+throughput between N and 4N executors), companion to run_scaling.py's
+build-path evidence.
+
+Protocol: build the 2.5M-doc sf5 index ONCE (reused across invocations),
+then run the same 64-query ``search_many`` batch job — the cluster-serving
+shape: one filtered segments scan + per-shard scoring for ALL queries —
+at two parallelism levels in fresh JVMs, interleaved repeats, best-of per
+level. Query p50 is coordinator-mode by design (single-node serving,
+doesn't scale with cores); the distributed batch path is what a cluster
+scales, so that's what this measures.
+
+Env: QSCALING_LEVELS=1,4  QSCALING_REPEATS=2  QSCALING_ACCUMULATE=1
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CORPUS = os.path.join(REPO, "BENCH", ".corpus_sf5.0_b4_c10.parquet")
+INDEX = os.path.join(REPO, "BENCH", ".queryscale_idx_sf5")
+OUT = os.path.join(REPO, "BENCH", "query_scaling.json")
+MD = os.path.join(REPO, "BENCH", "QUERY_SCALING.md")
+
+
+def query_set(m: int = 64) -> dict[str, str]:
+    """Deterministic mixed query set: hot multi-term, identifier sub-token,
+    rare, and missing-term queries in a fixed 8-query rotation."""
+    base = ["import return table", "getHTTPResponse", "buffer client error",
+            "parseJSONBody index", "data value", "snake_case_ident",
+            "bigblock", "the import"]
+    qs = {}
+    for i in range(m):
+        if i % 8 < len(base) and i < 8:
+            qs[f"q{i:03d}"] = base[i % 8]
+        elif i % 4 == 0:
+            qs[f"q{i:03d}"] = f"rareterm{i % 17} value"
+        elif i % 4 == 1:
+            qs[f"q{i:03d}"] = f"literal_{i % 13} index"
+        elif i % 4 == 2:
+            qs[f"q{i:03d}"] = base[i % len(base)]
+        else:
+            qs[f"q{i:03d}"] = f"zzzmissing{i} client"
+    return qs
+
+
+RUNNER = r"""
+import json, os, sys, time
+sys.path.insert(0, os.environ["REPO"])
+from deluge_spark.session import get_spark
+from deluge_spark.index.search import Searcher
+from BENCH.run_query_scaling import query_set
+
+cpus = int(os.environ["CPUS"])
+spark = get_spark("qscaling", cores=cpus, shuffle_partitions=2 * cpus)
+import bench as benchmod
+benchmod._add_pyfiles(spark)
+
+# warm the Python worker pool (fixed per-JVM cost a long-lived cluster has
+# already paid) so it doesn't skew the level comparison
+import pyarrow as _pa
+def _noop(it):
+    for b in it:
+        yield b
+spark.range(0, 4 * cpus, 1, 4 * cpus).mapInArrow(_noop, schema="id long").count()
+
+s = Searcher(spark, os.environ["INDEX"], cache_stats=True)
+qs = query_set()
+# untimed warm-up batch with a small disjoint query set: JIT/codegen and
+# parquet footer caches, not the measured postings work
+s.search_many({"w0": "rareterm3", "w1": "zzzwarm"}, k=10).collect()
+
+t0 = time.time()
+rows = s.search_many(qs, k=10).collect()
+wall = time.time() - t0
+out = {"cpus": cpus, "m_queries": len(qs), "wall_s": round(wall, 3),
+       "qps": round(len(qs) / wall, 3), "result_rows": len(rows),
+       "shuffle_partitions": 2 * cpus}
+spark.stop()
+print("QSCALING_RESULT " + json.dumps(out))
+"""
+
+
+def run_level(cpus: int) -> dict:
+    env = dict(os.environ, REPO=REPO, CPUS=str(cpus), INDEX=INDEX,
+               PYTHONPATH=REPO)
+    p = subprocess.run([sys.executable, "-c", RUNNER], env=env,
+                       capture_output=True, text=True,
+                       timeout=int(os.environ.get("QSCALING_TIMEOUT",
+                                                  "3600")))
+    for line in p.stdout.splitlines():
+        if line.startswith("QSCALING_RESULT "):
+            return json.loads(line[len("QSCALING_RESULT "):])
+    raise RuntimeError(
+        f"no result at cpus={cpus}:\n{p.stdout[-2000:]}\n{p.stderr[-3000:]}")
+
+
+def ensure_index() -> None:
+    if os.path.exists(os.path.join(INDEX, "stats", "global.json")):
+        return
+    sys.path.insert(0, REPO)
+    from deluge_spark.index.build import BuildConfig, build_index
+    from deluge_spark.session import get_spark
+
+    spark = get_spark("qscaling_build", cores=32, shuffle_partitions=64)
+    import bench as benchmod
+    benchmod._add_pyfiles(spark)
+    corpus = spark.read.parquet(CORPUS)
+    build_index(spark, corpus, INDEX,
+                BuildConfig(num_shards=8, tokenize_groups=1,
+                            shard_batches=1, store_content=False,
+                            manifest_counts=False))
+    spark.stop()
+
+
+def main() -> None:
+    lo, hi = (int(x) for x in
+              os.environ.get("QSCALING_LEVELS", "1,4").split(","))
+    repeats = int(os.environ.get("QSCALING_REPEATS", "2"))
+    ensure_index()
+
+    sys.path.insert(0, os.path.join(REPO, "BENCH"))
+    from run_scaling import hardware_ceiling, merge_ceilings
+
+    hw_pre = hardware_ceiling([lo, hi])
+    runs: dict[int, list[dict]] = {lo: [], hi: []}
+    if os.environ.get("QSCALING_ACCUMULATE") == "1" and os.path.exists(OUT):
+        with open(OUT) as f:
+            prev = json.load(f)
+        for lvl in (lo, hi):
+            runs[lvl].extend(prev.get("runs", {}).get(str(lvl), []))
+    for _ in range(repeats):
+        for lvl in (lo, hi):
+            runs[lvl].append(run_level(lvl))
+
+    best = {lvl: max(rs, key=lambda r: r["qps"]) for lvl, rs in runs.items()}
+    ratio = hi / lo
+    eff = best[hi]["qps"] / (ratio * best[lo]["qps"])
+    hw = merge_ceilings(hw_pre, hardware_ceiling([lo, hi]))
+    hw_eff = min(1.0, hw[hi]["cpu_units_per_s"]
+                 / (ratio * hw[lo]["cpu_units_per_s"]))
+    norm = min(1.0, eff / hw_eff) if hw_eff else float("nan")
+
+    md = f"""# Query-path scaling (N vs 4N) — search_many batch throughput
+
+The identical 64-query ``search_many`` batch job (one filtered segments
+scan + per-shard scoring for every query — the cluster query-evaluation
+shape) over the SAME prebuilt 2.5M-doc sf5 index at {lo} vs {hi} cores,
+fresh JVM per run, {len(runs[lo])}/{len(runs[hi])} interleaved repeats
+per level, best-of reported.
+
+| level | cores | batch wall s | queries/sec |
+|---|---|---|---|
+| N  | {lo} | {best[lo]['wall_s']} | {best[lo]['qps']} |
+| 4N | {hi} | {best[hi]['wall_s']} | {best[hi]['qps']} |
+
+**Query throughput scaling efficiency** = qps_{hi} / ({ratio:.0f} ×
+qps_{lo}) = **{eff:.3f}** (raw). Hardware CPU-burn ceiling in the same
+windows: **{hw_eff:.3f}** → normalized **{norm:.3f}**.
+
+Per-run qps @ {lo} cores: {[r['qps'] for r in runs[lo]]};
+@ {hi} cores: {[r['qps'] for r in runs[hi]]} (interleaved best-of —
+same steal-variance protocol as the build-path page).
+"""
+    with open(MD, "w") as f:
+        f.write(md)
+    with open(OUT, "w") as f:
+        json.dump({"runs": {str(k): v for k, v in runs.items()},
+                   "best": {str(k): v for k, v in best.items()},
+                   "efficiency_raw": eff, "hw_ceiling_eff": hw_eff,
+                   "efficiency_normalized": norm}, f, indent=2)
+    print(md)
+
+
+if __name__ == "__main__":
+    main()
