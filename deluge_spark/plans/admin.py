@@ -853,6 +853,8 @@ def purge_deleted(spark: SparkSession, index_dir: str) -> dict:
     retried. Tombstones added between a crash and its recovery are
     preserved and purged by the retry."""
     retired = os.path.join(index_dir, ".purge_retired")
+    recover_compact_intent(index_dir)   # resolve a crashed compaction
+    # swap first: purge trusts global.json's batch list below
     recovered = _recover_purge(spark, index_dir)
 
     tomb = read_tombstones(spark, index_dir)
@@ -910,6 +912,7 @@ def reindex(spark: SparkSession, index_dir: str, out_dir: str,
     no re-tokenization (the docs table is copied, segments rebuilt)."""
     from deluge_spark.index.build import tf_from_segments
 
+    recover_compact_intent(index_dir)
     cfg = config or BuildConfig()
     os.makedirs(out_dir, exist_ok=True)
     t0 = time.time()
