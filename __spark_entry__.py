@@ -266,6 +266,17 @@ def _bm25_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WILDCARD_SPEC = ("*oi*", 6, 10)  # (pattern, max_expansions, k)
 BOOST_SPEC = {"spark": 2.5, "join": 0.5}
+SUGGEST_SPEC = ("improt tabel respnse", 5)  # (misspelled text, size/token)
+
+
+def _term_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``term`` suggester (Searcher.suggest_terms): per absent token,
+    dictionary terms within ES-AUTO edit distance ranked (distance asc,
+    df desc, term asc), prefix_length=1, suggest_mode=missing — the
+    did-you-mean surface over the index's term dictionary."""
+    s = _get_searcher(spark, sf_dir)
+    text, size = SUGGEST_SPEC
+    return s.suggest_terms(text, size=size)
 
 
 def _bm25_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -724,6 +735,35 @@ SELECT doc_id, ROUND(s, {SCORE_DP}) AS score FROM scored
 ORDER BY ROUND(s, {SCORE_DP}) DESC, doc_id LIMIT {k}"""
 
 
+def _suggest_sql(text: str, size: int) -> str:
+    """DuckDB twin of Searcher.suggest_terms (mode=missing, prefix 1):
+    candidates = dictionary terms within ES-AUTO edits sharing the first
+    character, ranked (distance, df desc, term), size per token."""
+    toks = list(dict.fromkeys(tokenize_py(text, "code")))
+    vals = ", ".join(
+        f"('{t}', {0 if len(t) < 3 else (1 if len(t) <= 5 else 2)})"
+        for t in toks)
+    return _bm25_scaffold() + f""", dft AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), q(token, e) AS (VALUES {vals}),
+cand AS (
+  SELECT q.token, dft.term AS suggestion, dft.df,
+         CAST(levenshtein(dft.term, q.token) AS BIGINT) AS distance
+  FROM q JOIN dft
+    ON abs(length(dft.term) - length(q.token)) <= q.e
+   AND dft.term <> q.token
+   AND substr(dft.term, 1, 1) = substr(q.token, 1, 1)
+  WHERE q.e > 0
+    AND levenshtein(dft.term, q.token) <= q.e
+    AND q.token NOT IN (SELECT term FROM dft)
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY token ORDER BY distance, df DESC, suggestion) AS rn
+  FROM cand)
+SELECT token, suggestion, df, distance FROM ranked WHERE rn <= {size}
+ORDER BY token, distance, df DESC, suggestion"""
+
+
 def _percentiles_sql(query: str, percents: list[float]) -> str:
     """DuckDB twin of Searcher.facet_percentiles (exact): quantile_cont
     == SQL percentile's linear interpolation."""
@@ -961,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["multi_index_search"] = _multi_index
     q["bm25_wildcard"] = _bm25_wildcard
     q["bool_boosted"] = _bm25_boosted
+    q["term_suggest"] = _term_suggest
     q["bool_min_should_match"] = _bool_msm
     q["mget_fields"] = _mget
     # bm25_topk_*: the pure-DataFrame scoring twin (cross-check path).
@@ -1229,6 +1270,7 @@ def oracle_sql() -> dict[str, str]:
     o["multi_index_search"] = _bm25_sql(FACET_QUERY, 10**6)
     o["bm25_wildcard"] = _wildcard_sql(*WILDCARD_SPEC)
     o["bool_boosted"] = _boost_sql(FACET_QUERY, BOOST_SPEC, 10)
+    o["term_suggest"] = _suggest_sql(*SUGGEST_SPEC)
     o["bool_min_should_match"] = _bool_msm_sql(FACET_QUERY, 2, 10)
     o["mget_fields"] = _mget_sql(MGET_IDS)
     o["facet_histogram_dl"] = _facet_hist_sql(FACET_QUERY,

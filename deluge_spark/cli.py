@@ -187,6 +187,17 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--query", required=True)
     ex.add_argument("--doc", type=int, required=True)
 
+    sg = sub.add_parser("suggest",
+                        help="did-you-mean term suggestions from the "
+                             "dictionary (ES term suggester)")
+    sg.add_argument("--index", required=True)
+    sg.add_argument("--text", required=True)
+    sg.add_argument("--size", type=int, default=5)
+    sg.add_argument("--mode", default="missing",
+                    choices=["missing", "popular", "always"])
+    sg.add_argument("--max-edits", default="auto")
+    sg.add_argument("--prefix-length", type=int, default=1)
+
     fa = sub.add_parser("facet",
                         help="aggregations over the match set (ES aggs)")
     fa.add_argument("--index", required=True)
@@ -466,6 +477,17 @@ def main(argv: list[str] | None = None) -> int:
 
         searcher = Searcher(spark, args.index)
         for row in searcher.explain_score(args.query, args.doc).collect():
+            print(json.dumps(row.asDict()))
+    elif args.cmd == "suggest":
+        from deluge_spark.index.search import Searcher
+
+        searcher = Searcher(spark, args.index)
+        me = args.max_edits if args.max_edits == "auto" \
+            else int(args.max_edits)
+        for row in searcher.suggest_terms(
+                args.text, size=args.size, max_edits=me,
+                prefix_length=args.prefix_length,
+                suggest_mode=args.mode).collect():
             print(json.dumps(row.asDict()))
     elif args.cmd == "facet":
         from deluge_spark.index.search import Searcher

@@ -1120,6 +1120,23 @@ class Searcher:
             prev = cur
         return prev[-1]
 
+    def _fuzzy_scan(self, q: str, e: int,
+                    pre: str) -> list[tuple[int, int, str]]:
+        """(distance, df, term) triples within ``e`` edits of ``q`` from
+        the driver-cached dictionary; length band + optional exact prefix
+        prune before any edit-distance work."""
+        lo, hi = len(q) - e, len(q) + e
+        out = []
+        for t, d in self._df_map.items():
+            if not (lo <= len(t) <= hi):
+                continue
+            if pre and not t.startswith(pre):
+                continue
+            dist = self._edit_distance(t, q, e)
+            if dist <= e:
+                out.append((dist, d, t))
+        return out
+
     def expand_fuzzy(self, term: str, max_edits: int | str = "auto",
                      max_expansions: int = 50,
                      prefix_length: int = 0) -> list[str]:
@@ -1147,15 +1164,8 @@ class Searcher:
         pre = q[:prefix_length] if prefix_length > 0 else ""
         lo, hi = len(q) - e, len(q) + e
         if self._df_map is not None:
-            cand = []
-            for t, d in self._df_map.items():
-                if not (lo <= len(t) <= hi):
-                    continue
-                if pre and not t.startswith(pre):
-                    continue
-                dist = self._edit_distance(t, q, e)
-                if dist <= e:
-                    cand.append((dist, -d, t))
+            cand = [(dist, -d, t)
+                    for dist, d, t in self._fuzzy_scan(q, e, pre)]
             cand.sort()
             return [t for _, _, t in cand[:max_expansions]]
         tdf = self.spark.read.parquet(self._terms_path)
@@ -1188,6 +1198,79 @@ class Searcher:
             return self._empty()
         return self.search_bool(should=terms, k=k, filters=filters,
                                 mode=mode, round_dp=round_dp, fetch=fetch)
+
+    def suggest_terms(self, text: str, size: int = 5,
+                      max_edits: int | str = "auto",
+                      prefix_length: int = 1,
+                      suggest_mode: str = "missing") -> DataFrame:
+        """ES ``term`` suggester (did-you-mean): for each analyzed token
+        of ``text``, dictionary terms within the edit budget ranked
+        (distance asc, df desc, term asc), ``size`` per token →
+        DataFrame(token, suggestion, df, distance).
+
+        ``suggest_mode`` (ES semantics): ``missing`` (default) suggests
+        only for tokens absent from the dictionary, ``popular`` only
+        suggestions with higher df than the token's own, ``always`` for
+        every token. ``prefix_length=1`` is the ES default — the pinned
+        first character keeps the candidate scan tiny. Driver-cached
+        dictionary → banded-DP scan (the coordinating-node dictionary,
+        zero Spark jobs); otherwise one pushed-predicate pass over the
+        tiny terms table with JVM ``levenshtein``."""
+        if suggest_mode not in ("missing", "popular", "always"):
+            raise ValueError(f"unknown suggest_mode: {suggest_mode}")
+        schema = "token string, suggestion string, df long, distance long"
+        toks = list(dict.fromkeys(tokenize_py(text, self.mode)))
+        dfs = self._term_dfs(toks)
+        work = []                       # (token, edit budget, own df)
+        for tok in toks:
+            e = (self._auto_fuzziness(tok) if max_edits == "auto"
+                 else int(max_edits))
+            if e <= 0:
+                continue
+            if suggest_mode == "missing" and tok in dfs:
+                continue
+            work.append((tok, e, int(dfs.get(tok, 0))))
+        if not work:
+            return self.spark.createDataFrame([], schema)
+        order = [F.col("token").asc(), F.col("distance").asc(),
+                 F.col("df").desc(), F.col("suggestion").asc()]
+        if self._df_map is not None:
+            rows = []
+            for tok, e, own in work:
+                pre = tok[:prefix_length] if prefix_length > 0 else ""
+                cand = [(d, df, t) for d, df, t in
+                        self._fuzzy_scan(tok, e, pre) if t != tok]
+                if suggest_mode == "popular":
+                    cand = [c for c in cand if c[1] > own]
+                cand.sort(key=lambda c: (c[0], -c[1], c[2]))
+                rows += [(tok, t, int(df), int(d))
+                         for d, df, t in cand[:size]]
+            return self.spark.createDataFrame(rows, schema).orderBy(*order)
+        toks_df = F.broadcast(self.spark.createDataFrame(
+            work, "token string, e int, own_df long"))
+        tdf = self.spark.read.parquet(self._terms_path)
+        cand = (tdf.join(toks_df,
+                         (F.length("term")
+                          .between(F.length("token") - F.col("e"),
+                                   F.length("token") + F.col("e")))
+                         & (F.col("term") != F.col("token"))
+                         & ((F.lit(prefix_length) <= 0)
+                            | (F.substring("term", 1, prefix_length)
+                               == F.substring("token", 1, prefix_length))))
+                .withColumn("distance",
+                            F.levenshtein(F.col("term"), F.col("token"))
+                            .cast("long"))
+                .filter(F.col("distance") <= F.col("e")))
+        if suggest_mode == "popular":
+            cand = cand.filter(F.col("df") > F.col("own_df"))
+        w = Window.partitionBy("token").orderBy(
+            F.col("distance").asc(), F.col("df").desc(),
+            F.col("term").asc())
+        return (cand.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= size)
+                .select("token", F.col("term").alias("suggestion"),
+                        F.col("df").cast("long").alias("df"), "distance")
+                .orderBy(*order))
 
     def _content_source(self, content_df: DataFrame | None,
                         content_col: str, what: str) -> DataFrame:

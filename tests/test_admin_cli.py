@@ -318,3 +318,25 @@ def test_cli_mget_and_search_after(spark, small_index):
     api3 = s.search_bool(must="data", should="import return", k=10,
                          minimum_should_match=1).collect()
     assert [g["doc_id"] for g in got] == [r["doc_id"] for r in api3]
+
+
+def test_cli_suggest(spark, small_index):
+    """suggest subcommand vs the in-process term suggester."""
+    def run(*args):
+        p = subprocess.run([sys.executable, "-m", "deluge_spark.cli",
+                            "--cores", "4", *args],
+                           capture_output=True, text=True, timeout=600,
+                           cwd="/root/repo")
+        assert p.returncode == 0, p.stderr[-2000:]
+        return [json.loads(line) for line in p.stdout.splitlines()
+                if line.startswith("{")]
+
+    s = Searcher(spark, small_index)
+    got = run("suggest", "--index", small_index, "--text", "improt tabel",
+              "--size", "3")
+    api = s.suggest_terms("improt tabel", size=3).collect()
+    assert [(g["token"], g["suggestion"], g["df"], g["distance"])
+            for g in got] \
+        == [(r["token"], r["suggestion"], r["df"], r["distance"])
+            for r in api]
+    assert any(g["suggestion"] == "import" for g in got)

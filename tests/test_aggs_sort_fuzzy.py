@@ -469,3 +469,67 @@ def test_facet_top_hits_respects_filters_and_empty(searcher):
     assert {r["value"] for r in got} <= {"go"}
     assert searcher.facet_top_hits("zzzabsentterm", by="lang",
                                    sort_by="dl").count() == 0
+
+
+# -- term suggester ---------------------------------------------------------
+
+def _brute_suggest(oracle, tok: str, e: int, size: int,
+                   prefix_length: int = 1) -> list[tuple]:
+    pre = tok[:prefix_length] if prefix_length > 0 else ""
+    cand = [(Searcher._edit_distance(t, tok, e), -d, t)
+            for t, d in oracle.df.items()
+            if t != tok and (not pre or t.startswith(pre))]
+    cand = sorted(c for c in cand if c[0] <= e)
+    return [(tok, t, -nd, dist) for dist, nd, t in cand[:size]]
+
+
+def test_suggest_terms_missing_matches_brute(searcher, oracle):
+    # "improt"/"tabel" are misspellings (absent from the dictionary);
+    # "return" is present and must be skipped in missing mode
+    assert "improt" not in oracle.df and "return" in oracle.df
+    got = [tuple(r) for r in
+           searcher.suggest_terms("improt return tabel", size=5).collect()]
+    want = (_brute_suggest(oracle, "improt", 2, 5)
+            + _brute_suggest(oracle, "tabel", 1, 5))   # token-major already
+    assert got == want, (got, want)
+    assert all(r[0] != "return" for r in got)
+
+
+def test_suggest_terms_driver_vs_distributed(spark, index_dir, searcher):
+    plain = Searcher(spark, index_dir, cache_stats=False)
+    assert plain._df_map is None and searcher._df_map is not None
+    for text, mode in (("improt tabel", "missing"),
+                       ("return valu", "always"),
+                       ("retur", "popular")):
+        a = [tuple(r) for r in
+             searcher.suggest_terms(text, 4, suggest_mode=mode).collect()]
+        b = [tuple(r) for r in
+             plain.suggest_terms(text, 4, suggest_mode=mode).collect()]
+        assert a == b, (text, mode, a, b)
+
+
+def test_suggest_terms_modes(searcher, oracle):
+    # pick a PRESENT token that provably has dictionary neighbors so the
+    # always/popular assertions exercise non-empty paths
+    tok = next(t for t in sorted(oracle.df)
+               if len(t) > 5 and _brute_suggest(oracle, t, 2, 5))
+    want = _brute_suggest(oracle, tok, 2, 5)
+    rows = [tuple(r) for r in
+            searcher.suggest_terms(tok, 5, suggest_mode="always").collect()]
+    assert rows == want, (tok, rows, want)
+    assert all(r[1] != tok for r in rows)
+    # missing mode skips the present token entirely
+    assert searcher.suggest_terms(tok, 5).count() == 0
+    # popular: every suggestion strictly more frequent than the token
+    own = oracle.df[tok]
+    pop = [tuple(r) for r in
+           searcher.suggest_terms(tok, 50,
+                                  suggest_mode="popular").collect()]
+    assert pop == [
+        (tok, t, d, dist)
+        for _, t, d, dist in _brute_suggest(oracle, tok, 2, 10 ** 9)
+        if d > own][:50], (tok, own, pop)
+    with pytest.raises(ValueError, match="suggest_mode"):
+        searcher.suggest_terms("x", suggest_mode="nope")
+    # short tokens get edit budget 0 under AUTO -> no suggestions
+    assert searcher.suggest_terms("ab", suggest_mode="always").count() == 0
