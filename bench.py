@@ -211,6 +211,10 @@ def main() -> None:
     searcher.facet_top_hits("data value", by="lang", sort_by="n_chars",
                             hits_per_bucket=3, buckets=5).collect()
     timings["q_top_hits"] = round(time.time() - t0, 4)
+    # term suggester: driver-dictionary banded-DP scan, zero Spark jobs
+    t0 = time.time()
+    searcher.suggest_terms("improt retrn tabel", size=5).collect()
+    timings["q_suggest"] = round(time.time() - t0, 4)
     # reindex / clone to a new layout (no re-tokenize): exercises the
     # vectorized segments→postings decode (Arrow buffer-level, np.repeat)
     from deluge_spark.plans.admin import reindex
