@@ -57,10 +57,16 @@ spark.range(0, 4 * cpus, 1, 4 * cpus).mapInArrow(
 
 idx = tempfile.mkdtemp(prefix=f"deluge_scaling_{cpus}_")
 t0 = time.time()
-# identical job at both levels: index layout fixed, only parallelism differs
+# identical job at both levels: index layout fixed, only parallelism
+# differs. SCALING_SRC_PARTITIONS fixes the tokenize task granularity at
+# BOTH levels (a data-size property at cluster scale, ~100s MB/task);
+# left unset, a 1-core run would tokenize the corpus as ONE giant Arrow
+# task — a shape no real deployment has
+src_parts = int(os.environ.get("SCALING_SRC_PARTITIONS", "0")) or None
 m = build_index(spark, corpus, idx, BuildConfig(
     num_shards=8, tokenize_groups=1, shard_batches=1,
     store_content=False, shuffle_partitions=2 * cpus,
+    source_partitions=src_parts,
     manifest_counts=False))
 build_s = time.time() - t0
 
@@ -80,7 +86,8 @@ out = {"cpus": cpus, "n_docs": n_docs, "build_s": round(build_s, 3),
        "p50_ms": round(lats[len(lats)//2] * 1000, 2),
        "p95_ms": round(lats[int(len(lats)*0.95)-1] * 1000, 2),
        "stages": m.get("stages", {}),
-       "shuffle_partitions": 2 * cpus, "num_shards": 8}
+       "shuffle_partitions": 2 * cpus, "num_shards": 8,
+       "source_partitions": src_parts or 0}
 shutil.rmtree(idx, ignore_errors=True)
 spark.stop()
 print("SCALING_RESULT " + json.dumps(out))
@@ -209,9 +216,15 @@ def main() -> None:
     if os.environ.get("SCALING_ACCUMULATE") == "1" and os.path.exists(prev_path):
         with open(prev_path) as f:
             prev = json.load(f)
+        cur_sp = int(os.environ.get("SCALING_SRC_PARTITIONS", "0"))
         for lvl in (lo, hi):
             old = prev.get("runs", {}).get(str(lvl), [])
-            if old and all(r.get("n_docs") == old[0].get("n_docs") for r in old):
+            # carry only config-identical runs (same corpus AND same
+            # tokenize task granularity — mixing granularities would make
+            # best-of compare different jobs)
+            if old and all(r.get("n_docs") == old[0].get("n_docs")
+                           and r.get("source_partitions", 0) == cur_sp
+                           for r in old):
                 runs[lvl].extend(old)
         carried = min(len(runs[lo]), len(runs[hi]))
     for _ in range(repeats):              # interleave levels to spread noise

@@ -90,6 +90,13 @@ class BuildConfig:
     overwrite_stale: bool = False     # allow wiping an index built from a
                                       # different source fingerprint (else raise)
     shuffle_partitions: int | None = None  # explicit sizing (north rule)
+    # tokenize/source task granularity: partitions of the range-keyed
+    # corpus (None = cluster default parallelism). At cluster scale this
+    # is a DATA-SIZE property (~100s of MB per task), not a core-count
+    # one — a 1-core local run left at the default would tokenize the
+    # whole corpus as ONE giant Arrow task (allocator pressure, >2 GiB
+    # string offsets), which no real deployment does
+    source_partitions: int | None = None
     # fault injection for the resumability kill-test:
     fail_after: dict = field(default_factory=dict)  # {"tokenize": n, "segments": n}
 
@@ -186,7 +193,8 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
     # groups are doc-RANGE buckets (not modulo): each group's partial
     # posting lists then cover disjoint contiguous doc ranges, which is
     # what lets the merge stage concatenate them without re-encoding.
-    docs_with_ids, n_total = assign_doc_ids(corpus, return_count=True)
+    docs_with_ids, n_total = assign_doc_ids(
+        corpus, num_partitions=cfg.source_partitions, return_count=True)
     cached_corpus = docs_with_ids  # carries the cache handle; keep pre-withColumn
     # every non-content corpus column is a stored field (ES _source parity):
     # keyword/typed filters and facets run against whatever the corpus
