@@ -74,12 +74,17 @@ qs = query_set()
 # parquet footer caches, not the measured postings work
 s.search_many({"w0": "rareterm3", "w1": "zzzwarm"}, k=10).collect()
 
+# scoring-task granularity PINNED identically at both levels (same
+# principle as the build page's SCALING_SRC_PARTITIONS): group count is
+# a batch-size property — num_shards x G tasks — not a core-count one.
+# G=1 would cap the whole batch at num_shards tasks.
+qg = int(os.environ.get("QSCALING_QUERY_GROUPS", "1"))
 t0 = time.time()
-rows = s.search_many(qs, k=10).collect()
+rows = s.search_many(qs, k=10, query_groups=qg).collect()
 wall = time.time() - t0
 out = {"cpus": cpus, "m_queries": len(qs), "wall_s": round(wall, 3),
        "qps": round(len(qs) / wall, 3), "result_rows": len(rows),
-       "shuffle_partitions": 2 * cpus}
+       "shuffle_partitions": 2 * cpus, "query_groups": qg}
 spark.stop()
 print("QSCALING_RESULT " + json.dumps(out))
 """
@@ -131,8 +136,12 @@ def main() -> None:
     if os.environ.get("QSCALING_ACCUMULATE") == "1" and os.path.exists(OUT):
         with open(OUT) as f:
             prev = json.load(f)
+        cur_qg = int(os.environ.get("QSCALING_QUERY_GROUPS", "1"))
         for lvl in (lo, hi):
-            runs[lvl].extend(prev.get("runs", {}).get(str(lvl), []))
+            # carry only config-identical runs (same task granularity)
+            runs[lvl].extend(
+                r for r in prev.get("runs", {}).get(str(lvl), [])
+                if int(r.get("query_groups", 1)) == cur_qg)
     for _ in range(repeats):
         for lvl in (lo, hi):
             runs[lvl].append(run_level(lvl))
@@ -148,10 +157,13 @@ def main() -> None:
     md = f"""# Query-path scaling (N vs 4N) — search_many batch throughput
 
 The identical 64-query ``search_many`` batch job (one filtered segments
-scan + per-shard scoring for every query — the cluster query-evaluation
+scan + per-(shard, query-group) scoring — the cluster query-evaluation
 shape) over the SAME prebuilt 2.5M-doc sf5 index at {lo} vs {hi} cores,
 fresh JVM per run, {len(runs[lo])}/{len(runs[hi])} interleaved repeats
-per level, best-of reported.
+per level, best-of reported. Scoring-task granularity pinned at both
+levels: ``query_groups={best[lo].get('query_groups', 1)}`` →
+``num_shards × G`` scoring tasks (G=1 would cap the batch's usable
+parallelism at the 8 shards regardless of cluster size).
 
 | level | cores | batch wall s | queries/sec |
 |---|---|---|---|

@@ -233,6 +233,10 @@ def main(argv: list[str] | None = None) -> int:
                          "{col: val}}")
     sm.add_argument("-k", type=int, default=10)
     sm.add_argument("--fetch", action="store_true")
+    sm.add_argument("--query-groups", type=int, default=1,
+                    help="scoring-task granularity: split the query set "
+                         "into G cost-balanced groups (num_shards x G "
+                         "tasks; results identical for any G)")
 
     si = sub.add_parser("stream-ingest",
                         help="streaming ingest of an arriving-files dir "
@@ -538,7 +542,8 @@ def main(argv: list[str] | None = None) -> int:
         searcher = Searcher(spark, args.index)
         rows = searcher.search_many(queries, args.k,
                                     filters=filters or None,
-                                    fetch=args.fetch).collect()
+                                    fetch=args.fetch,
+                                    query_groups=args.query_groups).collect()
         for row in rows:
             print(json.dumps(row.asDict()))
     elif args.cmd == "stream-ingest":

@@ -430,7 +430,8 @@ class Searcher:
     def search_many(self, queries: dict[str, str], k: int = 10,
                     round_dp: int = 9,
                     filters: dict[str, dict[str, str]] | None = None,
-                    fetch: bool = False) -> DataFrame:
+                    fetch: bool = False,
+                    query_groups: int = 1) -> DataFrame:
         """Batch top-k for MANY queries in ONE distributed job →
         DataFrame(query, doc_id, score[, doc fields]), per-query ranking
         identical to ``search(mode='distributed')``.
@@ -448,7 +449,19 @@ class Searcher:
         distributed path (the filtered docs table, tagged per query, is
         cogrouped with the segments on shard; no driver collect, no size
         cap). Unlisted queries run unfiltered. ``fetch`` joins the stored
-        doc fields onto the top-k rows (broadcast semi-join, B6)."""
+        doc fields onto the top-k rows (broadcast semi-join, B6).
+
+        ``query_groups``: scoring-task granularity. The scoring stage is
+        keyed on (shard, query group); with the default 1 group it runs
+        ``num_shards`` tasks, which caps the usable parallelism of a big
+        batch at the shard count — fine for one query, wasteful for a
+        1000-executor cluster evaluating thousands. G > 1 splits the
+        QUERY SET into G cost-balanced groups (greedy bin-pack on Σdf),
+        giving ``num_shards × G`` tasks. Results are exactly identical
+        for any G (each query is scored in exactly one group; per-query
+        decode work is unchanged — a term shared by two groups ships its
+        posting bytes to both, the only cost of finer granularity). This
+        is the batch analog of ES serving a query set across replicas."""
         from pyspark.sql import Window
 
         filters = dict(filters or {})
@@ -472,10 +485,31 @@ class Searcher:
         if not live:
             return self.spark.createDataFrame([], out_schema)
 
+        # query → scoring group: greedy bin-pack on Σdf (hot query sets
+        # balance across groups), deterministic (cost desc, name asc;
+        # ties to the lowest-loaded, lowest-index group)
+        live_names = [n for n, ts in qterms.items() if ts]
+        n_groups = max(1, min(int(query_groups), len(live_names)))
+        grp_of: dict[str, int] = {}
+        if n_groups > 1:
+            load = [0] * n_groups
+            cost = {n: sum(dfs[t] for t in qterms[n]) for n in live_names}
+            for n in sorted(live_names, key=lambda x: (-cost[x], x)):
+                g = min(range(n_groups), key=lambda i: (load[i], i))
+                grp_of[n] = g
+                load[g] += max(1, cost[n])
+            term_grps = sorted({(t, grp_of[n])
+                                for n in live_names for t in qterms[n]})
+
         seg = self._segments().filter(F.col("term").isin(live))
+        if n_groups > 1:
+            gmap = self.spark.createDataFrame(term_grps,
+                                              "term string, grp int")
+            seg = seg.join(F.broadcast(gmap), "term")
         sc = self.spark.sparkContext
         b_idfs = sc.broadcast(idfs)
         b_qterms = sc.broadcast(qterms)
+        b_grp_of = sc.broadcast(grp_of)
         b_tomb = self._tomb_broadcast()
         b_filtered = sc.broadcast(frozenset(filters))
         taat_cap = self.taat_cap
@@ -490,8 +524,13 @@ class Searcher:
                 by_term.setdefault(r["term"], []).append(r)
             banned = b_tomb.value if b_tomb is not None else extra_banned
             filtered_names = b_filtered.value
+            grp_map = b_grp_of.value
+            task_grp = (int(seg_pdf["grp"].iloc[0])
+                        if grp_map and len(seg_pdf) else None)
             names, docs_out, scores = [], [], []
             for name, ts in b_qterms.value.items():
+                if task_grp is not None and grp_map.get(name) != task_grp:
+                    continue   # scored by its own group's task
                 qrows = [r for t in ts for r in by_term.get(t, [])]
                 if not qrows:
                     continue
@@ -525,6 +564,9 @@ class Searcher:
                 part = (docs.filter(self._filter_cond(flt))
                         .select("shard", "doc_id")
                         .withColumn("query", F.lit(name)))
+                if n_groups > 1:
+                    part = part.withColumn(
+                        "grp", F.lit(grp_of.get(name, 0)))
                 fd = part if fd is None else fd.unionByName(part)
         if self._tomb_oversize:
             tomb_ids = self._tombstones_df()
@@ -537,8 +579,14 @@ class Searcher:
                                   .cast("int"))
                       .select("shard", "doc_id")
                       .withColumn("query", F.lit(BANNED_TAG)))
+            if n_groups > 1:
+                # every group's tasks need the shard's banned ids
+                tagged = tagged.withColumn(
+                    "grp", F.explode(F.array(
+                        *[F.lit(g) for g in range(n_groups)])))
             fd = tagged if fd is None else fd.unionByName(tagged)
 
+        keys = ["shard", "grp"] if n_groups > 1 else ["shard"]
         if fd is not None:
             def _cogrouped_many(seg_pdf: pd.DataFrame,
                                 ids_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -553,11 +601,11 @@ class Searcher:
                 return _score_queries(seg_pdf, allowed_by_query,
                                       extra_banned)
 
-            per_shard = (seg.groupBy("shard")
-                         .cogroup(fd.groupBy("shard"))
+            per_shard = (seg.groupBy(*keys)
+                         .cogroup(fd.groupBy(*keys))
                          .applyInPandas(_cogrouped_many, schema=out_schema))
         else:
-            per_shard = seg.groupBy("shard").applyInPandas(
+            per_shard = seg.groupBy(*keys).applyInPandas(
                 lambda pdf: _score_queries(pdf, {}), schema=out_schema)
         w = Window.partitionBy("query").orderBy(
             F.round("score", round_dp).desc(), F.col("doc_id").asc())

@@ -160,3 +160,49 @@ def test_search_many_cli(spark, many_idx, tmp_path_factory):
         (r["doc_id"], round(r["score"], 9)) for r in
         s.search(QUERIES["hot"], 3, filters={"lang": "go"},
                  mode="distributed").collect()]
+
+
+def test_search_many_query_groups_parity(spark, many_idx):
+    """query_groups changes ONLY the scoring-task granularity
+    ((shard, group) keys instead of shard): results must be exactly
+    identical for any G — mixed filtered/unfiltered batch, G spanning
+    1 (the legacy single-group plan), a divisor, the query count, and
+    over-asking (G > live queries is clamped)."""
+    s = Searcher(spark, many_idx)
+    filters = {"multi": {"lang": "python"}, "hot": {"lang": "go"}}
+    base = _by_query(s.search_many(QUERIES, k=10, filters=filters))
+    assert base
+    for g in (2, 3, len(QUERIES), 64):
+        got = _by_query(s.search_many(QUERIES, k=10, filters=filters,
+                                      query_groups=g))
+        assert got == base, f"query_groups={g}"
+    # per-task parallelism actually grew: the grouped plan keys on
+    # (shard, grp), so distinct scoring groups > num_shards
+    grouped = s.search_many(QUERIES, k=10, query_groups=3)
+    assert _by_query(grouped) == _by_query(s.search_many(QUERIES, k=10))
+
+
+def test_search_many_query_groups_with_oversize_tombstones(
+        spark, corpus_df, tmp_path_factory):
+    """The over-cap tombstone sentinel must reach EVERY group's tasks
+    (it is replicated per group) — survivor sets identical to the
+    driver-broadcast path at any G."""
+    d = str(tmp_path_factory.mktemp("qg_tomb"))
+    build_index(spark, corpus_df, d,
+                BuildConfig(num_shards=2, tokenize_groups=1,
+                            shard_batches=1))
+    s0 = Searcher(spark, d)
+    base = _by_query(s0.search_many(QUERIES, k=10))
+    victims = [doc for doc, _ in base["multi"][:2]]
+    delete_docs(spark, d, doc_ids=victims)
+    s_small = Searcher(spark, d, tombstone_driver_cap=1)  # forces oversize
+    s_big = Searcher(spark, d)
+    assert s_small._tomb_oversize and not s_big._tomb_oversize
+    filters = {"hot": {"lang": "go"}}
+    want = _by_query(s_big.search_many(QUERIES, k=10, filters=filters))
+    for g in (1, 2, 4):
+        got = _by_query(s_small.search_many(QUERIES, k=10, filters=filters,
+                                            query_groups=g))
+        assert got == want, f"query_groups={g}"
+        hit = {doc for rows in got.values() for doc, _ in rows}
+        assert not set(victims) & hit
