@@ -79,25 +79,74 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id",
 
 def _shingles(df: DataFrame, id_col: str, text_col: str, n: int,
               mode: str = "simple") -> DataFrame:
-    """(id, text) → distinct (id, shingle) word n-grams."""
-    toks = tokens_col(text_col, mode)
-    if n == 1:
-        sh = toks
-    else:
-        # sliding window over the token array, JVM-side; guard short docs
-        # (sequence(1, 0) would count DOWN in Spark)
-        sh = F.expr(
-            f"CASE WHEN size(_toks) >= {n} THEN "
-            f"transform(sequence(1, size(_toks) - {n - 1}), "
-            f"i -> concat_ws(' ', slice(_toks, i, {n}))) "
-            f"ELSE array() END"
-        )
-        df = df.withColumn("_toks", toks)
-    out = (df.withColumn("_sh", F.explode_outer(sh))
-           .filter(F.col("_sh").isNotNull())
-           .select(F.col(id_col).alias("id"), F.col("_sh").alias("shingle"))
-           .distinct())
-    return out
+    """(id, text) → distinct (id, shingle) word n-grams.
+
+    ONE narrow Arrow stage (guide §4.2): tokenization runs through the
+    same RE2 kernels as the index build (``_tokenize_arrow``, property-
+    tested token-identical to the SQL ``tokens_col`` twin), n-grams are a
+    vectorized shifted-take + ``binary_join_element_wise``, and the
+    (id, shingle) DISTINCT is resolved per doc inside the stage — a doc's
+    shingles all live in its own row, so batch-local dedup IS the global
+    distinct and the previous corpus-wide ``distinct()`` exchange
+    disappears entirely (guide §2.4: remove shuffles outright). The old
+    JVM formulation (regexp_extract_all + per-position interpreted
+    slice/concat HOFs + explode + distinct) spent ~4× longer on the same
+    50k-doc corpus before the first downstream operator ran.
+    """
+    from deluge_spark.operators.parallel import spread_input
+
+    src = spread_input(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")))
+    id_type = src.schema["id"].dataType.simpleString()
+
+    def _stage(it):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from deluge_spark.functions.tokenizer import _tokenize_arrow
+
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            col = batch.column("_t")
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            toks = _tokenize_arrow(col, mode)
+            parents = pc.list_parent_indices(toks)
+            flat = pc.list_flatten(toks)
+            mask = pc.not_equal(flat, "")
+            flat = flat.filter(mask)
+            parents = parents.filter(mask)
+            if len(flat) == 0:
+                continue
+            pn = parents.to_numpy(zero_copy_only=False)
+            if n == 1:
+                sh = flat
+                pid = pn
+            else:
+                if len(pn) < n:
+                    continue
+                valid = pn[: -(n - 1)] == pn[n - 1:]
+                idx = np.flatnonzero(valid)
+                if not len(idx):
+                    continue
+                parts = [flat.take(pa.array(idx + j, pa.int64()))
+                         for j in range(n)]
+                # variadic join: (s_0, s_1, ..., separator)
+                sh = pc.binary_join_element_wise(*parts, " ")
+                pid = pn[idx]
+            ids = batch.column("id").take(pa.array(pid, pa.int64()))
+            tbl = (pa.table({"id": ids, "shingle": sh})
+                   .group_by(["id", "shingle"], use_threads=False)
+                   .aggregate([]))
+            yield pa.RecordBatch.from_pydict({
+                "id": tbl.column("id").combine_chunks(),
+                "shingle": tbl.column("shingle").combine_chunks()
+                .cast(pa.string()),
+            })
+
+    return src.mapInArrow(_stage, schema=f"id {id_type}, shingle string")
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -172,8 +221,17 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     as array aggregation so it remains ONE shuffle:
     sig[i] = min over shingles of perm_i(h).
     """
-    a, b = _minhash_params(num_hashes, seed)
     sh = _shingles(df, id_col, text_col, n, mode)
+    return _signatures_from_shingles(sh, num_hashes, seed)
+
+
+def _signatures_from_shingles(sh: DataFrame, num_hashes: int,
+                              seed: int) -> DataFrame:
+    """(id, shingle) → (id, sig array<long>) — the signature aggregation
+    alone, so callers that already hold the (possibly cached) shingle
+    table never re-tokenize (minhash_lsh_pairs reuses ONE shingle pass for
+    signatures AND the exact-Jaccard verify)."""
+    a, b = _minhash_params(num_hashes, seed)
     h = F.abs(F.xxhash64("shingle")) % F.lit(MERSENNE)
     # positional min aggregates: num_hashes independent F.min expressions,
     # assembled into the array AFTER aggregation. Aggregation state is a
@@ -223,13 +281,21 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     - ``bucket_cap``: hard ceiling on ids considered per (band, bucket)
       (deterministic: smallest ids kept). A safety valve against residual
       near-identical floods; trades bounded recall loss for bounded work.
+
+    LAZY result (unchanged contract): every action recomputes from the
+    source — nothing is pinned in cluster memory by this call. The shingle
+    stage is a narrow Arrow pass (see ``_shingles``) cheap enough to
+    recompute per reference, and the candidate table's three references
+    below share one physical computation through Spark's ReusedExchange
+    (identical distinct-exchange subtrees).
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     if collapse_exact:
         df = exact_dedup(df, id_col, text_col)
     rows = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed, mode)
+    sh = _shingles(df, id_col, text_col, n, mode)
+    sig = _signatures_from_shingles(sh, num_hashes, seed)
     banded = sig.select(
         "id",
         F.posexplode(F.array(*[
@@ -253,7 +319,6 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     )
     if not verify_exact:
         return cand
-    sh = _shingles(df, id_col, text_col, n, mode)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     sh_a = sh.select(F.col("id").alias("doc_a"), "shingle")
     sh_b = sh.select(F.col("id").alias("doc_b"), "shingle")
@@ -284,8 +349,11 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     per-bit vote = Σ tf·(bit ? +1 : −1), fingerprint bit = vote > 0.
     One groupBy(id) shuffle.
     """
-    toks = (df.select(F.col(id_col).alias("id"),
-                      F.explode(tokens_col(text_col, mode)).alias("tok"))
+    from deluge_spark.operators.parallel import spread_input
+
+    toks = (spread_input(df.select(F.col(id_col).alias("id"),
+                                   F.col(text_col).alias("_t")))
+            .select("id", F.explode(tokens_col("_t", mode)).alias("tok"))
             .groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf")))
     h = F.xxhash64("tok")
     # positional sum aggregates: 64 independent F.sum expressions (fixed

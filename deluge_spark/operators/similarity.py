@@ -38,6 +38,8 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from deluge_spark.operators.parallel import spread_input
+
 
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
@@ -57,8 +59,8 @@ def cosine_top_k(df: DataFrame, query_vec: list[float], k: int = 10,
     qarr = F.array(*[F.lit(x) for x in q])
     v = _as_double(vec_col)
     sim = _dot(v, qarr) / (F.sqrt(_dot(v, v)) * F.lit(qnorm))
-    out = df.select(F.col(id_col).alias("vec_id"),
-                    F.round(sim, round_dp).alias("sim"))
+    out = spread_input(df).select(F.col(id_col).alias("vec_id"),
+                                  F.round(sim, round_dp).alias("sim"))
     if exclude_id is not None:
         out = out.filter(F.col("vec_id") != exclude_id)
     return out.orderBy(F.col("sim").desc(), F.col("vec_id").asc()).limit(k)
@@ -88,7 +90,8 @@ def sign_sketch(df: DataFrame, id_col: str = "vec_id",
     peek for the dimension)."""
     if n_planes % bands:
         raise ValueError("n_planes must be divisible by bands")
-    src = df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    src = spread_input(
+        df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v")))
     # carry the id through with its SOURCE type (string/long/...): the
     # sketch must not implicitly cast ids the caller joins back on
     id_type = src.schema["id"].dataType.simpleString()
@@ -170,13 +173,17 @@ def build_ann_index(df: DataFrame, index_dir: str, id_col: str = "vec_id",
     (sk.repartition("band").sortWithinPartitions("bucket", "id")
      .write.mode("overwrite").partitionBy("band")
      .parquet(os.path.join(index_dir, "sketch")))
-    vecs = df.select(F.col(id_col).alias("id"),
-                     _as_double(vec_col).alias("v"))
+    from pyspark.sql import Observation
+
+    vecs = spread_input(df.select(F.col(id_col).alias("id"),
+                                  _as_double(vec_col).alias("v")))
     vecs = vecs.withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
-    vecs.write.mode("overwrite").parquet(os.path.join(index_dir, "vectors"))
-    row = spark.read.parquet(os.path.join(index_dir, "vectors")).select(
-        F.count(F.lit(1)).alias("n"), F.max(F.size("v")).alias("dim")
-    ).collect()[0]
+    # n_vectors/dim observed ON the write job — no re-read count pass
+    obs = Observation()
+    (vecs.observe(obs, F.count(F.lit(1)).alias("n"),
+                  F.max(F.size("v")).alias("dim"))
+     .write.mode("overwrite").parquet(os.path.join(index_dir, "vectors")))
+    row = obs.get
     meta = {"n_planes": n_planes, "bands": bands, "seed": seed,
             "dim": int(row["dim"] or 0), "n_vectors": int(row["n"])}
     with open(os.path.join(index_dir, "meta.json"), "w") as f:
@@ -321,7 +328,8 @@ def cosine_near_pairs(df: DataFrame, threshold: float,
     precomputed once per row, one fold per pair); ``cosine_near_pairs_lsh``
     is the scale path."""
     v = _as_double(vec_col)
-    base = df.select(F.col(id_col).alias("id"), v.alias("v")).withColumn(
+    base = spread_input(
+        df.select(F.col(id_col).alias("id"), v.alias("v"))).withColumn(
         "nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
     a, b = base.alias("a"), base.alias("b")
     sim = (_dot(F.col("a.v"), F.col("b.v"))
@@ -353,8 +361,8 @@ def cosine_near_pairs_lsh(df: DataFrame, threshold: float,
         & (F.col("x.id") < F.col("y.id")))
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct())
-    base = (df.select(F.col(id_col).alias("id"),
-                      _as_double(vec_col).alias("v"))
+    base = (spread_input(df.select(F.col(id_col).alias("id"),
+                                   _as_double(vec_col).alias("v")))
             .withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v")))))
     va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
                      F.col("nrm").alias("na"))
