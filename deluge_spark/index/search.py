@@ -84,7 +84,15 @@ class Searcher:
     #: cost-based TAAT/WAND switch point (matched postings): below it the
     #: vectorized exhaustive scorer beats the DAAT loop. ONE source of
     #: truth for the coordinator path and the per-shard distributed pick.
-    DEFAULT_TAAT_CAP = 100_000
+    #: Calibrated r6: vectorized TAAT runs ~0.35 µs/posting, range-at-a-
+    #: time block-max WAND ~3 µs/posting when pruning cannot skip, so
+    #: WAND only wins once it prunes >~8× — which Σdf alone cannot
+    #: promise below ~10^6. 10^6 postings decode to ~16 MB of per-task
+    #: numpy state, safely inside executor task memory, so the exhaustive
+    #: path is both faster AND memory-bounded up to this cap; above it
+    #: WAND's lazy block decode keeps memory flat and pruning gets room
+    #: to pay off.
+    DEFAULT_TAAT_CAP = 1_000_000
 
     #: above this many tombstones the set is NOT materialized on the
     #: driver (≈8 B/id; 50M ≈ 400 MB driver+broadcast) — distributed

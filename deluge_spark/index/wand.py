@@ -212,6 +212,22 @@ def wand_top_k(
     scoring. ``banned``: optional sorted int64 array of tombstoned doc_ids
     (deletes) — candidates inside it are skipped before scoring; survivor
     scores are untouched (ES/Lucene delete semantics).
+
+    Execution is range-at-a-time (the vectorized refinement of classic
+    doc-at-a-time block-max WAND): doc-level pruning is unchanged — the
+    pivot/advance dance still jumps whole blocks via the skip table
+    without decoding — but once iterators ALIGN on a pivot, the unit of
+    work is the block range [pivot_doc, min current-block end] rather
+    than one doc. The range is bounded with the same block-max upper
+    bounds (Σ cur_block_max of the iterators overlapping the range): a
+    failing bound skips the whole range (shallow block entry where the
+    range ends at a block boundary — no decode), a passing bound decodes
+    the overlapped blocks once and scores every candidate in the range in
+    one numpy pass. Scores are exact float64 sums either way, so the
+    top-k heap result is rank-identical to the per-doc loop (it scores a
+    superset of the docs the per-doc loop scores); per-posting cost drops
+    from ~10 µs (Python loop) to ~0.1 µs where pruning cannot skip —
+    the hot-disjunction serving profile.
     """
     eps = 10.0 ** (-round_dp)
     its = [it for it in lists if not it.exhausted]
@@ -237,45 +253,87 @@ def wand_top_k(
         if pivot < 0:
             break
         pivot_doc = its[pivot].cur_doc
-        if its[0].cur_doc == pivot_doc:
-            # all prefix iterators aligned on pivot_doc
-            if allowed is not None:
-                j = int(np.searchsorted(allowed, pivot_doc))
-                if j >= len(allowed) or allowed[j] != pivot_doc:
-                    for it in its:
-                        if not it.exhausted and it.cur_doc == pivot_doc:
-                            it.next()
-                    continue
-            if banned is not None and len(banned):
-                j = int(np.searchsorted(banned, pivot_doc))
-                if j < len(banned) and banned[j] == pivot_doc:
-                    for it in its:
-                        if not it.exhausted and it.cur_doc == pivot_doc:
-                            it.next()
-                    continue
-            # block-max refinement: tighter bound from current blocks
-            bm_ub = 0.0
-            for it in its:
-                if it.exhausted or it.cur_doc > pivot_doc:
-                    break
-                bm_ub += it.cur_block_max
-            if bm_ub > th - eps:
-                score = 0.0
-                for it in its:
-                    if not it.exhausted and it.cur_doc == pivot_doc:
-                        score += it.cur_score()
-                r = round(score, round_dp)
-                entry = (r, -pivot_doc, pivot_doc, score)
+        if its[0].cur_doc < pivot_doc:
+            # advance the smallest-doc iterator up to the pivot doc — the
+            # classic undecoded skip-table jump
+            its[0].advance(pivot_doc)
+            continue
+
+        # ---- aligned: handle the block range [pivot_doc, e] ------------
+        # e = min current-block end over ALL live iterators, so every
+        # iterator's postings in the range lie inside its current block
+        e = min(int(it.block_last[it.bi]) for it in its)
+        involved = []
+        ub_range = 0.0
+        for it in its:
+            if it.cur_doc > e:
+                break  # sorted by cur_doc: none further overlap the range
+            involved.append(it)
+            ub_range += it.cur_block_max
+
+        if ub_range <= th - eps:
+            # block-max refinement over the whole range: nothing in
+            # [pivot_doc, e] can reach the heap floor — consume the range.
+            # Iterators whose current block ends exactly at e advance
+            # shallowly (no decode); the rest must seek inside their block.
+            for it in involved:
+                if int(it.block_last[it.bi]) <= e:
+                    if it.bi + 1 >= it.n_blocks:
+                        it.exhausted = True
+                    else:
+                        it._enter_block(it.bi + 1)
+                else:
+                    it.advance(e + 1)
+            continue
+
+        # score the whole range vectorized — exact per-posting BM25
+        docs_l, contrib_l, ends = [], [], []
+        for it in involved:
+            it._ensure_decoded()
+            j = int(np.searchsorted(it.docs, e, side="right"))
+            if j > it.pos:
+                docs_l.append(it.docs[it.pos:j])
+                contrib_l.append(it.idf * tfnorm(
+                    it.tfs[it.pos:j], it.dls[it.pos:j], it.avgdl))
+            ends.append(j)
+        d = np.concatenate(docs_l)
+        c = np.concatenate(contrib_l)
+        order = np.argsort(d, kind="stable")
+        d, c = d[order], c[order]
+        starts = np.flatnonzero(np.diff(d, prepend=d[0] - 1))
+        uids = d[starts]
+        sums = np.add.reduceat(c, starts)
+        if allowed is not None:
+            jj = np.searchsorted(allowed, uids)
+            ok = ((jj < len(allowed))
+                  & (allowed[np.minimum(jj, len(allowed) - 1)] == uids))
+            uids, sums = uids[ok], sums[ok]
+        if banned is not None and len(banned) and len(uids):
+            jj = np.searchsorted(banned, uids)
+            hit = ((jj < len(banned))
+                   & (banned[np.minimum(jj, len(banned) - 1)] == uids))
+            uids, sums = uids[~hit], sums[~hit]
+        if len(uids):
+            # raw-sum pre-filter with one rounding quantum of slack:
+            # round(s, dp) >= floor implies s >= floor - 0.5*10^-dp, so no
+            # candidate the per-doc path would keep is dropped
+            if len(heap) >= k:
+                keep = sums >= (heap[0][0] - eps)
+                uids, sums = uids[keep], sums[keep]
+            for doc, sc in zip(uids.tolist(), sums.tolist()):
+                r = round(sc, round_dp)
+                entry = (r, -doc, doc, sc)
                 if len(heap) < k:
                     heapq.heappush(heap, entry)
                 elif entry[:2] > heap[0][:2]:
                     heapq.heapreplace(heap, entry)
-            for it in its:
-                if not it.exhausted and it.cur_doc == pivot_doc:
-                    it.next()
-        else:
-            # advance the smallest-doc iterator up to the pivot doc
-            its[0].advance(pivot_doc)
+        for it, j in zip(involved, ends):
+            it.pos = j
+            if j >= len(it.docs):
+                if it.bi + 1 >= it.n_blocks:
+                    it.exhausted = True
+                else:
+                    it._enter_block(it.bi + 1)
 
     out = [(doc, exact) for _, _, doc, exact in heap]
     out.sort(key=lambda x: (-round(x[1], round_dp), x[0]))

@@ -58,7 +58,14 @@ def test_delete_excludes_from_all_paths_scores_unchanged(
     for algo in ("taat", "wand", "auto"):
         got = s2.search_local(Q, 10, algo=algo)
         assert victim not in [doc for doc, _ in got]
-        assert got[:len(expect)] == expect
+        # survivor docs identical in order; scores agree to float-
+        # summation-order tolerance (range-at-a-time WAND sums a doc's
+        # term contributions in chunk order — same cross-algo contract
+        # as the fuzz suite)
+        assert [doc for doc, _ in got[:len(expect)]] \
+            == [doc for doc, _ in expect]
+        for (_, s1), (_, s2_) in zip(got, expect):
+            assert s1 == pytest.approx(s2_, rel=1e-12)
     dist = [(r["doc_id"], round(r["score"], 9)) for r in
             s2.search(Q, 10, mode="distributed").collect()]
     assert victim not in [doc for doc, _ in dist]

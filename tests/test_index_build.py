@@ -218,7 +218,15 @@ def test_taat_cap_single_source(spark, index_dir):
     s_def = S(spark, index_dir)
     assert s_def.taat_cap == S.DEFAULT_TAAT_CAP
     for q in ("import return", "getHTTPResponse"):
-        assert s_wand.search_local(q, 10) == s_taat.search_local(q, 10)
+        got_w = s_wand.search_local(q, 10)
+        got_t = s_taat.search_local(q, 10)
+        # rank-identical; exact scores agree to float-summation-order
+        # tolerance (range-at-a-time WAND sums a doc's term contributions
+        # in chunk order, TAAT in row order — same contract as the fuzz
+        # suite's cross-algo check)
+        assert [d for d, _ in got_w] == [d for d, _ in got_t]
+        for (_, s1), (_, s2) in zip(got_w, got_t):
+            assert s1 == pytest.approx(s2, rel=1e-12)
 
 
 def test_typed_filters_terms_in_and_range(spark, index_dir, oracle):
