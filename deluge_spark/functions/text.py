@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from deluge_spark.operators.parallel import spread_input
+
 # marker vocabularies for the n-gram/stopword language-ID heuristic;
 # fixed priority order breaks ties deterministically
 LANG_MARKERS: dict[str, list[str]] = {
@@ -48,7 +50,8 @@ def lang_id(df: DataFrame, id_col: str = "doc_id",
     # build reversed CASE chain so the FIRST lang in order wins ties
     for lang in reversed(LANG_ORDER):
         pred = F.when(counts[lang] == m, F.lit(lang)).otherwise(pred)
-    return df.select(F.col(id_col).alias("doc_id"), pred.alias("lang_pred"))
+    return spread_input(df).select(F.col(id_col).alias("doc_id"),
+                                   pred.alias("lang_pred"))
 
 
 def lang_id_sql(text_col: str = "text") -> str:
@@ -87,7 +90,7 @@ def quality_score(df: DataFrame, id_col: str = "doc_id",
                       ).otherwise(0.0)
     score = (F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.4
              + alpha_ratio * 0.3 + (1.0 - stop_ratio) * 0.3)
-    return df.select(
+    return spread_input(df).select(
         F.col(id_col).alias("doc_id"),
         n_tok.cast("long").alias("n_tokens"),
         n_chars.cast("long").alias("n_chars"),
@@ -133,9 +136,9 @@ def token_counts(df: DataFrame, id_col: str = "doc_id",
     ws = F.size(F.regexp_extract_all(F.col(text_col), F.lit(WS_TOKENS_RE), F.lit(0)))
     bpe = F.size(F.regexp_extract_all(F.lower(F.col(text_col)),
                                       F.lit(BPE_ISH_RE), F.lit(0)))
-    return df.select(F.col(id_col).alias("doc_id"),
-                     ws.cast("long").alias("ws_tokens"),
-                     bpe.cast("long").alias("bpe_ish_tokens"))
+    return spread_input(df).select(F.col(id_col).alias("doc_id"),
+                                   ws.cast("long").alias("ws_tokens"),
+                                   bpe.cast("long").alias("bpe_ish_tokens"))
 
 
 def token_counts_sql(text_col: str = "text") -> dict[str, str]:
@@ -152,8 +155,8 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id",
     whitespace/punctuation-insensitive content identity (the exact-dedup
     key that survives reformatting)."""
     toks = _simple_tokens(text_col)
-    return df.select(F.col(id_col).alias("doc_id"),
-                     F.md5(F.concat_ws(" ", toks)).alias("fp"))
+    return spread_input(df).select(F.col(id_col).alias("doc_id"),
+                                   F.md5(F.concat_ws(" ", toks)).alias("fp"))
 
 
 def fingerprint_sql(text_col: str = "text") -> str:

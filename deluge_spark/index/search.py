@@ -1375,9 +1375,12 @@ class Searcher:
                                           mode=mode, round_dp=round_dp))
         content = self._content_source(content_df, content_col,
                                        "highlight")
+        # the k result ids are already driver-side (pinned): push them
+        # into the content scan as an IN predicate — parquet row-group
+        # skipping serves the point lookups, no semi-join subtree
+        ids = [int(r["doc_id"]) for r in out.collect()]
         joined = out.join(F.broadcast(
-            content.join(out.select("doc_id"), "doc_id", "left_semi")),
-            "doc_id")
+            content.filter(F.col("doc_id").isin(ids))), "doc_id")
         low = F.lower(F.col(content_col))
         matched = F.coalesce(*[F.when(F.locate(t, low) > 0, F.lit(t))
                                for t in terms], F.lit(terms[0]))
@@ -1447,8 +1450,8 @@ class Searcher:
 
     # -- aggregations over the match set (ES aggs parity) -----------------
     def _match_ids(self, query: str,
-                   filters: dict[str, str] | None = None
-                   ) -> DataFrame | None:
+                   filters: dict[str, str] | None = None,
+                   distinct: bool = True) -> DataFrame | None:
         """Distinct doc_ids matching ANY of the query's analyzed terms —
         the ES query-context match SET (not top-k). Decodes only the
         matched terms' postings (pushed ``term`` predicate on the segment
@@ -1461,8 +1464,13 @@ class Searcher:
         terms = [t for t in self._term_dfs(terms)]
         if not terms:
             return None
-        ids = (tf_from_segments(self.spark, self.index_dir, terms=terms)
-               .select("doc_id").distinct())
+        ids = tf_from_segments(self.spark, self.index_dir,
+                               terms=terms).select("doc_id")
+        if distinct:
+            # count() needs the set; LEFT SEMI consumers pass
+            # distinct=False — semi-join semantics dedup for free, saving
+            # the distinct exchange (guide §2.4)
+            ids = ids.distinct()
         if filters:
             docs = self.spark.read.parquet(self._docs_path)
             ids = ids.join(docs.filter(self._filter_cond(filters))
@@ -1530,7 +1538,7 @@ class Searcher:
         doc containing ≥1 query term), not the top-k — one distributed
         plan: pushed-predicate postings decode → distinct ids → semi-join
         facet column → hash aggregate. All exact, no sketching."""
-        ids = self._match_ids(query, filters)
+        ids = self._match_ids(query, filters, distinct=False)
         if ids is None:
             return self.spark.createDataFrame(
                 [], "value string, n_docs long")
@@ -1552,7 +1560,7 @@ class Searcher:
         per-doc meta table (no re-tokenize)."""
         if interval <= 0:
             raise ValueError("interval must be positive")
-        ids = self._match_ids(query, filters)
+        ids = self._match_ids(query, filters, distinct=False)
         if ids is None:
             return self.spark.createDataFrame(
                 [], "bucket long, n_docs long")
@@ -1570,7 +1578,7 @@ class Searcher:
         """(doc_id, v) for one stored field over the match set — ``dl``
         resolves from the per-doc meta table, everything else from the
         docs table. Returns None when no query term is known."""
-        ids = self._match_ids(query, filters)
+        ids = self._match_ids(query, filters, distinct=False)
         if ids is None:
             return None
         if field == "dl":
@@ -1684,7 +1692,7 @@ class Searcher:
         broadcast-semi-join back. The final buckets × hits rows are
         pinned driver-side so the returned frame holds no reference to
         the decode subtree (see ``_pin_small``)."""
-        ids = self._match_ids(query, filters)
+        ids = self._match_ids(query, filters, distinct=False)
         if ids is None:
             return self.spark.createDataFrame(
                 [], f"value string, doc_id long, {sort_by} long")
@@ -1708,13 +1716,20 @@ class Searcher:
                   .filter(F.col("_rk") <= hits_per_bucket)
                   .persist())
         try:
-            ranked.count()  # materialize the cache so the two downstream
-            #                 references cannot race-recompute the decode
-            top = (ranked.filter(F.col("_rk") == 1)  # one row per bucket
-                   .select("value")
-                   .orderBy(F.col("_n").desc(), F.col("value").asc())
-                   .limit(buckets))
-            out = (ranked.join(F.broadcast(top), "value", "left_semi")
+            # job 1 ALSO materializes the persisted ranked frame, so the
+            # second job reads the cache instead of re-running the decode
+            # (previously a separate count() paid a third job for this);
+            # the collected bucket list is <= ``buckets`` rows — driver-
+            # safe at any facet cardinality
+            top_rows = (ranked.filter(F.col("_rk") == 1)
+                        .select("value", "_n")
+                        .orderBy(F.col("_n").desc(), F.col("value").asc())
+                        .limit(buckets).collect())
+            vals = [r["value"] for r in top_rows]
+            if not vals:
+                return self.spark.createDataFrame(
+                    [], f"value string, doc_id long, {sort_by} long")
+            out = (ranked.filter(F.col("value").isin(vals))
                    .select("value", "doc_id", sort_by, "_rk")
                    .orderBy(F.col("value").asc(), F.col("_rk").asc())
                    .drop("_rk"))
@@ -1791,9 +1806,17 @@ class Searcher:
         docs = self.spark.read.parquet(self._docs_path)
         cols = [c for c in ("repo", "path", "commit", "lang", "doc_len")
                 if c in docs.columns and c not in out.columns]
-        return out.join(F.broadcast(docs.select("doc_id", *cols)
-                                    .join(out.select("doc_id"), "doc_id",
-                                          "left_semi")), "doc_id")
+        ids = [int(r["doc_id"]) for r in out.select("doc_id").collect()]
+        side = docs.select("doc_id", *cols)
+        if len(ids) <= 10_000:
+            # small result: IN predicate pushed to the parquet scan
+            # (row-group min/max skip) instead of a semi-join subtree
+            side = side.filter(F.col("doc_id").isin(ids))
+        else:
+            # huge-k fetch: an IN literal this size would bloat the plan —
+            # keep the broadcast semi-join
+            side = side.join(out.select("doc_id"), "doc_id", "left_semi")
+        return out.join(F.broadcast(side), "doc_id")
 
     def get_docs(self, doc_ids: list[int],
                  fields: list[str] | None = None) -> DataFrame:

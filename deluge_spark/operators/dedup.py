@@ -77,6 +77,41 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id",
             .filter(F.col("_rn") == 1).drop("_rn"))
 
 
+
+def _batch_shingles(col, mode: str, n: int):
+    """One Arrow batch's text column → (doc-row index array, shingle
+    StringArray), NOT deduped; None when the batch yields no shingles.
+    Shared by the shingle-table stage and the MinHash signature stage."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from deluge_spark.functions.tokenizer import _tokenize_arrow
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    toks = _tokenize_arrow(col, mode)
+    parents = pc.list_parent_indices(toks)
+    flat = pc.list_flatten(toks)
+    mask = pc.not_equal(flat, "")
+    flat = flat.filter(mask)
+    parents = parents.filter(mask)
+    if len(flat) == 0:
+        return None
+    pn = parents.to_numpy(zero_copy_only=False)
+    if n == 1:
+        return pn, flat
+    if len(pn) < n:
+        return None
+    valid = pn[: -(n - 1)] == pn[n - 1:]
+    idx = np.flatnonzero(valid)
+    if not len(idx):
+        return None
+    parts = [flat.take(pa.array(idx + j, pa.int64())) for j in range(n)]
+    # variadic join: (s_0, s_1, ..., separator)
+    return pn[idx], pc.binary_join_element_wise(*parts, " ")
+
+
 def _shingles(df: DataFrame, id_col: str, text_col: str, n: int,
               mode: str = "simple") -> DataFrame:
     """(id, text) → distinct (id, shingle) word n-grams.
@@ -100,42 +135,15 @@ def _shingles(df: DataFrame, id_col: str, text_col: str, n: int,
     id_type = src.schema["id"].dataType.simpleString()
 
     def _stage(it):
-        import numpy as np
         import pyarrow as pa
-        import pyarrow.compute as pc
-
-        from deluge_spark.functions.tokenizer import _tokenize_arrow
 
         for batch in it:
             if batch.num_rows == 0:
                 continue
-            col = batch.column("_t")
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            toks = _tokenize_arrow(col, mode)
-            parents = pc.list_parent_indices(toks)
-            flat = pc.list_flatten(toks)
-            mask = pc.not_equal(flat, "")
-            flat = flat.filter(mask)
-            parents = parents.filter(mask)
-            if len(flat) == 0:
+            got = _batch_shingles(batch.column("_t"), mode, n)
+            if got is None:
                 continue
-            pn = parents.to_numpy(zero_copy_only=False)
-            if n == 1:
-                sh = flat
-                pid = pn
-            else:
-                if len(pn) < n:
-                    continue
-                valid = pn[: -(n - 1)] == pn[n - 1:]
-                idx = np.flatnonzero(valid)
-                if not len(idx):
-                    continue
-                parts = [flat.take(pa.array(idx + j, pa.int64()))
-                         for j in range(n)]
-                # variadic join: (s_0, s_1, ..., separator)
-                sh = pc.binary_join_element_wise(*parts, " ")
-                pid = pn[idx]
+            pid, sh = got
             ids = batch.column("id").take(pa.array(pid, pa.int64()))
             tbl = (pa.table({"id": ids, "shingle": sh})
                    .group_by(["id", "shingle"], use_threads=False)
@@ -215,43 +223,72 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        mode: str = "simple") -> DataFrame:
     """(id, text) → (id, sig array<long>) MinHash signatures.
 
-    Base shingle hash = xxhash64 (JVM, codegen); the i-th permutation is
-    ``(a_i·h + b_i) mod M61`` computed via JVM arithmetic on the exploded
-    shingle table, aggregated with one groupBy(id).min per row — expressed
-    as array aggregation so it remains ONE shuffle:
-    sig[i] = min over shingles of perm_i(h).
+    ONE narrow Arrow stage, zero shuffle: a doc's shingles all live in its
+    own input row, so sig[i] = min over the doc's shingles of
+    ``(a_i·h + b_i) mod M`` resolves entirely batch-locally — tokenize +
+    n-gram (shared ``_batch_shingles`` kernels), base hash h =
+    |xxhash64(shingle, 42)| mod M via the bit-exact numpy XXH64 twin
+    (``functions/xxh.py``, property-tested against Spark's expression),
+    then a vectorized permutation×shingle min-reduce per doc. Replaces the
+    r5 exploded-shingle groupBy whose 64 positional min-aggregates paid a
+    shuffle AND a multi-second whole-stage-codegen compile on every fresh
+    JVM. Values are bit-identical to the JVM formula (same hash, same
+    int64 arithmetic — no wrap below 2^62; remainder via C-semantics fmod
+    exactly like Java's %).
     """
-    sh = _shingles(df, id_col, text_col, n, mode)
-    return _signatures_from_shingles(sh, num_hashes, seed)
+    from deluge_spark.operators.parallel import spread_input
 
-
-def _signatures_from_shingles(sh: DataFrame, num_hashes: int,
-                              seed: int) -> DataFrame:
-    """(id, shingle) → (id, sig array<long>) — the signature aggregation
-    alone, so callers that already hold the (possibly cached) shingle
-    table never re-tokenize (minhash_lsh_pairs reuses ONE shingle pass for
-    signatures AND the exact-Jaccard verify)."""
     a, b = _minhash_params(num_hashes, seed)
-    h = F.abs(F.xxhash64("shingle")) % F.lit(MERSENNE)
-    # positional min aggregates: num_hashes independent F.min expressions,
-    # assembled into the array AFTER aggregation. Aggregation state is a
-    # fixed 64 longs per doc — NOT a collect_list of per-shingle arrays,
-    # whose buffer would grow as 8·num_hashes bytes per distinct shingle
-    # (a 100k-shingle doc ≈ 50 MB of agg state; a few per partition OOM an
-    # executor). Same single shuffle, identical results, and map-side
-    # partial aggregation now combines (min is associative) where
-    # collect_list could only concatenate.
-    exploded = sh.select("id", h.alias("_h"))
-    mins = [
-        F.min((F.lit(a[i]) * F.col("_h") + F.lit(b[i])) % F.lit(MERSENNE))
-        .alias(f"_s{i}")
-        for i in range(num_hashes)
-    ]
-    return (
-        exploded.groupBy("id").agg(*mins)
-        .select("id", F.array(*[F.col(f"_s{i}")
-                                for i in range(num_hashes)]).alias("sig"))
-    )
+    src = spread_input(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")))
+    id_type = src.schema["id"].dataType.simpleString()
+
+    def _stage(it):
+        import numpy as np
+        import pyarrow as pa
+
+        from deluge_spark.functions.xxh import xxhash64_arrow
+
+        A = np.asarray(a, dtype=np.int64)[:, None]
+        B = np.asarray(b, dtype=np.int64)[:, None]
+        M = np.int64(MERSENNE)
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            got = _batch_shingles(batch.column("_t"), mode, n)
+            if got is None:
+                continue
+            pid, sh = got
+            h = np.fmod(np.abs(xxhash64_arrow(sh)), M)
+            # doc boundaries in the (doc-ordered) shingle stream
+            starts = np.flatnonzero(np.diff(pid, prepend=pid[0] - 1))
+            n_docs = len(starts)
+            sig = np.empty((n_docs, num_hashes), dtype=np.int64)
+            # chunk at doc boundaries, ~100k shingles per chunk, so the
+            # num_hashes × shingles permutation temporary stays ~50 MB
+            ci = 0
+            while ci < n_docs:
+                cj = int(np.searchsorted(starts, starts[ci] + 100_000,
+                                         side="right"))
+                cj = max(cj, ci + 1)
+                lo = int(starts[ci])
+                hi = int(starts[cj]) if cj < n_docs else len(h)
+                perms = (A * h[lo:hi][None, :] + B) % M
+                seg = starts[ci:cj] - lo
+                sig[ci:cj, :] = np.minimum.reduceat(
+                    perms, seg, axis=1).T
+                ci = cj
+            ids = batch.column("id").take(pa.array(pid[starts], pa.int64()))
+            offs = pa.array(
+                np.arange(0, (n_docs + 1) * num_hashes, num_hashes,
+                          dtype=np.int32), pa.int32())
+            yield pa.RecordBatch.from_pydict({
+                "id": ids,
+                "sig": pa.ListArray.from_arrays(
+                    offs, pa.array(sig.reshape(-1), pa.int64())),
+            })
+
+    return src.mapInArrow(_stage, schema=f"id {id_type}, sig array<long>")
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -295,7 +332,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
         df = exact_dedup(df, id_col, text_col)
     rows = num_hashes // bands
     sh = _shingles(df, id_col, text_col, n, mode)
-    sig = _signatures_from_shingles(sh, num_hashes, seed)
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed,
+                             mode)
     banded = sig.select(
         "id",
         F.posexplode(F.array(*[

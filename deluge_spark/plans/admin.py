@@ -929,11 +929,15 @@ def reindex(spark: SparkSession, index_dir: str, out_dir: str,
     if tomb is not None:
         tf = tf.join(tomb, "doc_id", "left_anti")
 
+    from pyspark.sql import Observation
+
     dl_df = tf.groupBy("doc_id").agg(F.max("dl").cast("long").alias("dl"))
-    dl_df.write.mode("overwrite").parquet(os.path.join(out_dir, "docs_meta"))
-    dl_df = spark.read.parquet(os.path.join(out_dir, "docs_meta"))
-    row = dl_df.agg(F.count(F.lit(1)).alias("n"),
-                    F.avg("dl").alias("avgdl")).collect()[0]
+    # n_docs/avgdl observed ON the write job — no re-read aggregate pass
+    obs = Observation()
+    (dl_df.observe(obs, F.count(F.lit(1)).alias("n"),
+                   F.avg("dl").alias("avgdl"))
+     .write.mode("overwrite").parquet(os.path.join(out_dir, "docs_meta")))
+    row = obs.get
     n_docs, avgdl = int(row["n"] or 0), float(row["avgdl"] or 0.0)
 
     man = Manifest(out_dir)
@@ -956,8 +960,12 @@ def reindex(spark: SparkSession, index_dir: str, out_dir: str,
     terms = seg_all.groupBy("term").agg(F.sum("df_local").alias("df"),
                                         F.sum("cf_local").alias("cf"))
     stats_dir = os.path.join(out_dir, "stats")
-    terms.write.mode("overwrite").parquet(os.path.join(stats_dir, "terms"))
-    total_postings = int(seg_all.agg(F.sum("n_postings")).collect()[0][0] or 0)
+    # total_postings observed on the terms write (same one-job pattern as
+    # the batch build's stats stage)
+    obs2 = Observation()
+    (terms.observe(obs2, F.sum("df").alias("tp"))
+     .write.mode("overwrite").parquet(os.path.join(stats_dir, "terms")))
+    total_postings = int(obs2.get["tp"] or 0)
     glob = {"n_docs": n_docs, "avgdl": avgdl,
             "total_postings": total_postings,
             "num_shards": cfg.num_shards,

@@ -38,6 +38,19 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # joins (guide §3.1/§9): let the planner pick shuffled-hash over
+        # sort-merge when the per-partition build side fits, and let AQE
+        # rewrite SMJ→SHJ at runtime from observed sizes — same results,
+        # no sort. 64 MB per-partition build state is safe in both this
+        # sandbox and a production executor.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+                "64m")
+        # scan parallelism floor (guide §6): splittable inputs must feed
+        # every core even when small; on a cluster whose inputs already
+        # split wider this is a no-op. Unsplittable single-row-group
+        # files are handled by operators/parallel.spread_input instead.
+        .config("spark.sql.files.minPartitionNum", str(cores))
         .config("spark.driver.memory", driver_memory)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
