@@ -764,7 +764,8 @@ def _merge_partials_reencode(partials: DataFrame) -> DataFrame:
 
 
 def tf_from_segments(spark: SparkSession, index_dir: str,
-                     terms: list[str] | None = None) -> DataFrame:
+                     terms: list[str] | None = None,
+                     seg_df: DataFrame | None = None) -> DataFrame:
     """Reconstruct the long-form (doc_id, term, tf, dl) table by decoding
     segments — the input for the DataFrame-scoring cross-check path and for
     re-index migrations (replaces persisted tf checkpoints, which the
@@ -775,7 +776,10 @@ def tf_from_segments(spark: SparkSession, index_dir: str,
     query's matched postings, never the whole index."""
     import pyarrow as pa
 
-    seg = read_segments(spark, index_dir).select(
+    # ``seg_df`` lets a Searcher with cache_segments=True decode from its
+    # pinned in-memory segment table instead of a fresh parquet read
+    seg = (seg_df if seg_df is not None
+           else read_segments(spark, index_dir)).select(
         "term", "block_first", "block_last", "block_count", "block_off",
         "data")
     if terms is not None:

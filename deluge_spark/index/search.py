@@ -168,6 +168,24 @@ class Searcher:
     def _empty(self) -> DataFrame:
         return self.spark.createDataFrame([], RESULT_SCHEMA)
 
+    def _local_df(self, rows, schema) -> DataFrame:
+        """Small driver-side result rows → DataFrame through the Arrow
+        pandas path — ~10× cheaper than createDataFrame(list), which
+        type-verifies row by row over py4j (measured 353 → 34 ms for a
+        10-row frame on this box; every coordinator-mode query and pinned
+        top-k pays this constructor). None-bearing columns are built as
+        object Series so integers never degrade to float NaN."""
+        if not rows:
+            return self.spark.createDataFrame([], schema)
+        names = (schema.names if hasattr(schema, "names")
+                 else [f.strip().split()[0] for f in schema.split(",")])
+        cols = {}
+        for i, c in enumerate(names):
+            vals = [r[i] for r in rows]
+            cols[c] = (pd.Series(vals, dtype=object)
+                       if any(v is None for v in vals) else vals)
+        return self.spark.createDataFrame(pd.DataFrame(cols), schema=schema)
+
     def _load_tombstones(self) -> np.ndarray | None:
         from deluge_spark.index.build import read_tombstones
 
@@ -418,7 +436,7 @@ class Searcher:
         if mode == "coordinator":
             try:
                 top = self.search_local(query, k, filters, round_dp)
-                out = self.spark.createDataFrame(
+                out = self._local_df(
                     [(int(d), float(s)) for d, s in top], RESULT_SCHEMA)
             except (FilterTooUnselective, TombstonesTooLarge):
                 # ONLY the cap rejections trigger the fallback — any other
@@ -985,7 +1003,7 @@ class Searcher:
                 top = self.search_bool_local(must, should, must_not, k,
                                              filters, round_dp,
                                              minimum_should_match, boosts)
-                out = self.spark.createDataFrame(
+                out = self._local_df(
                     [(int(d), float(s)) for d, s in top], RESULT_SCHEMA)
             except (FilterTooUnselective, TombstonesTooLarge):
                 if not auto:
@@ -1301,7 +1319,7 @@ class Searcher:
                 cand.sort(key=lambda c: (c[0], -c[1], c[2]))
                 rows += [(tok, t, int(df), int(d))
                          for d, df, t in cand[:size]]
-            return self.spark.createDataFrame(rows, schema).orderBy(*order)
+            return self._local_df(rows, schema).orderBy(*order)
         toks_df = F.broadcast(self.spark.createDataFrame(
             work, "token string, e int, own_df long"))
         tdf = self.spark.read.parquet(self._terms_path)
@@ -1464,8 +1482,8 @@ class Searcher:
         terms = [t for t in self._term_dfs(terms)]
         if not terms:
             return None
-        ids = tf_from_segments(self.spark, self.index_dir,
-                               terms=terms).select("doc_id")
+        ids = tf_from_segments(self.spark, self.index_dir, terms=terms,
+                               seg_df=self._seg).select("doc_id")
         if distinct:
             # count() needs the set; LEFT SEMI consumers pass
             # distinct=False — semi-join semantics dedup for free, saving
@@ -1512,7 +1530,7 @@ class Searcher:
         tf = (tf_from_segments(self.spark, self.index_dir, terms=terms)
               .filter(F.col("doc_id") == doc_id)
               .select("term", "tf", "dl"))
-        base = self.spark.createDataFrame(
+        base = self._local_df(
             [(t, int(dfs[t])) for t in terms], "term string, df long")
         joined = base.join(tf, "term", "left")
         idf_col = F.log(F.lit(1.0)
@@ -1560,15 +1578,12 @@ class Searcher:
         per-doc meta table (no re-tokenize)."""
         if interval <= 0:
             raise ValueError("interval must be positive")
-        ids = self._match_ids(query, filters, distinct=False)
-        if ids is None:
+        mv = self._match_field(query, "dl", filters)
+        if mv is None:
             return self.spark.createDataFrame(
                 [], "bucket long, n_docs long")
-        meta = self.spark.read.parquet(self._meta_path)
-        return (meta.select("doc_id",
-                            (F.floor(F.col("dl") / interval)
-                             * interval).cast("long").alias("bucket"))
-                .join(ids, "doc_id", "left_semi")
+        return (mv.select((F.floor(F.col("v") / interval)
+                           * interval).cast("long").alias("bucket"))
                 .groupBy("bucket")
                 .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
                 .orderBy(F.col("bucket").asc()))
@@ -1578,13 +1593,34 @@ class Searcher:
         """(doc_id, v) for one stored field over the match set — ``dl``
         resolves from the per-doc meta table, everything else from the
         docs table. Returns None when no query term is known."""
+        if field == "dl":
+            # dl rides on every decoded posting row (the single-analysis-
+            # pass invariant), so the match set's dl values come straight
+            # out of the postings decode — no docs_meta scan, no semi-join
+            # (guide §2.4). Identical values: docs_meta was written FROM
+            # these same rows.
+            from deluge_spark.index.build import tf_from_segments
+
+            terms = list(dict.fromkeys(tokenize_py(query, self.mode)))
+            terms = [t for t in self._term_dfs(terms)]
+            if not terms:
+                return None
+            mv = (tf_from_segments(self.spark, self.index_dir, terms=terms,
+                                   seg_df=self._seg)
+                  .groupBy("doc_id")
+                  .agg(F.max("dl").cast("long").alias("v")))
+            if filters:
+                docs = self.spark.read.parquet(self._docs_path)
+                mv = mv.join(docs.filter(self._filter_cond(filters))
+                             .select("doc_id"), "doc_id", "left_semi")
+            tomb = self._tombstones_df()
+            if tomb is not None:
+                mv = mv.join(tomb, "doc_id", "left_anti")
+            return mv.select("doc_id", "v")
         ids = self._match_ids(query, filters, distinct=False)
         if ids is None:
             return None
-        if field == "dl":
-            src = self.spark.read.parquet(self._meta_path)
-        else:
-            src = self.spark.read.parquet(self._docs_path)
+        src = self.spark.read.parquet(self._docs_path)
         return (src.select("doc_id", F.col(field).alias("v"))
                 .join(ids, "doc_id", "left_semi"))
 
@@ -1796,7 +1832,7 @@ class Searcher:
         costs one job over the tiny frame and makes every downstream
         reference a local relation."""
         rows = out.collect()
-        return self.spark.createDataFrame(rows, out.schema)
+        return self._local_df(rows, out.schema)
 
     def _fetch_fields(self, out: DataFrame) -> DataFrame:
         """B6 stored-field fetch: broadcast semi-join of the doc fields
