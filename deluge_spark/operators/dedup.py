@@ -113,7 +113,7 @@ def _batch_shingles(col, mode: str, n: int):
 
 
 def _shingles(df: DataFrame, id_col: str, text_col: str, n: int,
-              mode: str = "simple") -> DataFrame:
+              mode: str = "simple", with_size: bool = False) -> DataFrame:
     """(id, text) → distinct (id, shingle) word n-grams.
 
     ONE narrow Arrow stage (guide §4.2): tokenization runs through the
@@ -135,7 +135,9 @@ def _shingles(df: DataFrame, id_col: str, text_col: str, n: int,
     id_type = src.schema["id"].dataType.simpleString()
 
     def _stage(it):
+        import numpy as np
         import pyarrow as pa
+        import pyarrow.compute as pc
 
         for batch in it:
             if batch.num_rows == 0:
@@ -148,13 +150,26 @@ def _shingles(df: DataFrame, id_col: str, text_col: str, n: int,
             tbl = (pa.table({"id": ids, "shingle": sh})
                    .group_by(["id", "shingle"], use_threads=False)
                    .aggregate([]))
-            yield pa.RecordBatch.from_pydict({
+            out = {
                 "id": tbl.column("id").combine_chunks(),
                 "shingle": tbl.column("shingle").combine_chunks()
                 .cast(pa.string()),
-            })
+            }
+            if with_size:
+                # per-doc DISTINCT shingle count, attached to every row:
+                # the exact-Jaccard verify reads |A|,|B| straight off the
+                # joined rows instead of two extra sizes joins
+                idn = pc.dictionary_encode(out["id"])
+                codes = idn.indices.to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                cnt = np.bincount(codes)
+                out["sz"] = pa.array(cnt[codes], pa.int64())
+            yield pa.RecordBatch.from_pydict(out)
 
-    return src.mapInArrow(_stage, schema=f"id {id_type}, shingle string")
+    schema = f"id {id_type}, shingle string"
+    if with_size:
+        schema += ", sz long"
+    return src.mapInArrow(_stage, schema=schema)
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -331,7 +346,6 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     if collapse_exact:
         df = exact_dedup(df, id_col, text_col)
     rows = num_hashes // bands
-    sh = _shingles(df, id_col, text_col, n, mode)
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed,
                              mode)
     banded = sig.select(
@@ -342,6 +356,12 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
             for i in range(bands)
         ])).alias("band", "bucket"),
     )
+    # explicit (band, bucket) exchange BEFORE the self-join: both join
+    # branches then share it via ReusedExchange, so the signature stage
+    # runs once — without an exchange anchor the (shuffle-free) Arrow sig
+    # stage would be recomputed per branch (guide §2.4: two operations
+    # keyed the same way share one exchange)
+    banded = banded.repartition("band", "bucket")
     if bucket_cap is not None:
         wb = Window.partitionBy("band", "bucket").orderBy("id")
         banded = (banded.withColumn("_bn", F.row_number().over(wb))
@@ -357,17 +377,21 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     )
     if not verify_exact:
         return cand
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    sh_a = sh.select(F.col("id").alias("doc_a"), "shingle")
-    sh_b = sh.select(F.col("id").alias("doc_b"), "shingle")
+    # per-doc set sizes ride on the shingle rows (with_size), so the
+    # exact-Jaccard verify is TWO shingle references and zero sizes
+    # joins: |A| and |B| come off the joined rows themselves
+    sh = _shingles(df, id_col, text_col, n, mode, with_size=True)
+    sh_a = sh.select(F.col("id").alias("doc_a"), "shingle",
+                     F.col("sz").alias("sz_a"))
+    sh_b = sh.select(F.col("id").alias("doc_b"), "shingle",
+                     F.col("sz").alias("sz_b"))
     inter = (cand.join(sh_a, "doc_a").join(sh_b, ["doc_b", "shingle"])
-             .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("inter")))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).alias("inter"),
+                  F.min("sz_a").alias("sz_a"),
+                  F.min("sz_b").alias("sz_b")))
     return (
         inter
-        .join(sizes.withColumnRenamed("id", "doc_a")
-              .withColumnRenamed("sz", "sz_a"), "doc_a")
-        .join(sizes.withColumnRenamed("id", "doc_b")
-              .withColumnRenamed("sz", "sz_b"), "doc_b")
         .withColumn("jaccard",
                     F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
         .filter(F.col("jaccard") >= threshold)
