@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from deluge_spark.functions.tokenizer import tokenize_py
-from deluge_spark.index.search import Searcher, idf
+from deluge_spark.index.search import _empty_frame, Searcher, idf
 
 __all__ = ["MultiSearcher"]
 
@@ -116,5 +116,4 @@ class MultiSearcher:
         return sum(s.count(query, filters) for s in self.searchers)
 
     def _empty(self) -> DataFrame:
-        return self.spark.createDataFrame(
-            [], "index int, doc_id long, score double")
+        return _empty_frame(self.spark, "index int, doc_id long, score double")

@@ -80,6 +80,21 @@ def _score_shard_rows(rows: list[dict], idfs: dict[str, float],
     return wand_top_k(its, k, round_dp, allowed, banned)
 
 
+
+def _empty_frame(spark, schema) -> DataFrame:
+    """Typed EMPTY DataFrame as a pruned LocalRelation.
+
+    ``createDataFrame([], schema)`` builds an RDD-backed empty frame over
+    cluster-default partitions, so a downstream orderBy still plans a full
+    exchange (~0.7 s per call on this box). A one-null-row pandas frame
+    filtered by ``lit(False)`` collapses via PropagateEmptyRelation into an
+    empty LocalRelation instead (~40 ms), same schema, zero rows."""
+    names = (schema.names if hasattr(schema, "names")
+             else [f.strip().split()[0] for f in schema.split(",")])
+    pdf = pd.DataFrame({c: pd.Series([None], dtype=object) for c in names})
+    return spark.createDataFrame(pdf, schema=schema).where(F.lit(False))
+
+
 class Searcher:
     #: cost-based TAAT/WAND switch point (matched postings): below it the
     #: vectorized exhaustive scorer beats the DAAT loop. ONE source of
@@ -166,7 +181,7 @@ class Searcher:
 
     # -- helpers ----------------------------------------------------------
     def _empty(self) -> DataFrame:
-        return self.spark.createDataFrame([], RESULT_SCHEMA)
+        return _empty_frame(self.spark, RESULT_SCHEMA)
 
     def _local_df(self, rows, schema) -> DataFrame:
         """Small driver-side result rows → DataFrame through the Arrow
@@ -176,7 +191,7 @@ class Searcher:
         top-k pays this constructor). None-bearing columns are built as
         object Series so integers never degrade to float NaN."""
         if not rows:
-            return self.spark.createDataFrame([], schema)
+            return _empty_frame(self.spark, schema)
         names = (schema.names if hasattr(schema, "names")
                  else [f.strip().split()[0] for f in schema.split(",")])
         cols = {}
@@ -500,7 +515,7 @@ class Searcher:
         all_terms = sorted({t for ts in qterms.values() for t in ts})
         out_schema = "query string, doc_id long, score double"
         if not all_terms:
-            return self.spark.createDataFrame([], out_schema)
+            return _empty_frame(self.spark, out_schema)
         dfs = self._term_dfs(all_terms)
         n = self.stats["n_docs"]
         idfs = {t: idf(n, d) for t, d in dfs.items()}
@@ -509,7 +524,7 @@ class Searcher:
                   for name, ts in qterms.items()}
         live = sorted({t for ts in qterms.values() for t in ts})
         if not live:
-            return self.spark.createDataFrame([], out_schema)
+            return _empty_frame(self.spark, out_schema)
 
         # query → scoring group: greedy bin-pack on Σdf (hot query sets
         # balance across groups), deterministic (cost desc, name asc;
@@ -1305,7 +1320,7 @@ class Searcher:
                 continue
             work.append((tok, e, int(dfs.get(tok, 0))))
         if not work:
-            return self.spark.createDataFrame([], schema)
+            return _empty_frame(self.spark, schema)
         order = [F.col("token").asc(), F.col("distance").asc(),
                  F.col("df").desc(), F.col("suggestion").asc()]
         if self._df_map is not None:
@@ -1387,8 +1402,7 @@ class Searcher:
         Python UDFs."""
         terms = list(dict.fromkeys(tokenize_py(query, self.mode)))
         if not terms:
-            return self.spark.createDataFrame(
-                [], "doc_id long, score double, snippet string")
+            return _empty_frame(self.spark, "doc_id long, score double, snippet string")
         out = self._pin_small(self.search(query, k, filters=filters,
                                           mode=mode, round_dp=round_dp))
         content = self._content_source(content_df, content_col,
@@ -1524,7 +1538,7 @@ class Searcher:
         schema = ("term string, tf long, df long, idf double, "
                   "contribution double")
         if not terms:
-            return self.spark.createDataFrame([], schema)
+            return _empty_frame(self.spark, schema)
         n = self.stats["n_docs"]
         avgdl = float(self.stats["avgdl"])
         tf = (tf_from_segments(self.spark, self.index_dir, terms=terms)
@@ -1558,8 +1572,7 @@ class Searcher:
         facet column → hash aggregate. All exact, no sketching."""
         ids = self._match_ids(query, filters, distinct=False)
         if ids is None:
-            return self.spark.createDataFrame(
-                [], "value string, n_docs long")
+            return _empty_frame(self.spark, "value string, n_docs long")
         docs = self.spark.read.parquet(self._docs_path)
         return (docs.select("doc_id", F.col(by).cast("string")
                             .alias("value"))
@@ -1580,8 +1593,7 @@ class Searcher:
             raise ValueError("interval must be positive")
         mv = self._match_field(query, "dl", filters)
         if mv is None:
-            return self.spark.createDataFrame(
-                [], "bucket long, n_docs long")
+            return _empty_frame(self.spark, "bucket long, n_docs long")
         return (mv.select((F.floor(F.col("v") / interval)
                            * interval).cast("long").alias("bucket"))
                 .groupBy("bucket")
@@ -1637,8 +1649,7 @@ class Searcher:
         is rounded to ``round_dp``."""
         mv = self._match_field(query, field, filters)
         if mv is None:
-            return self.spark.createDataFrame(
-                [], "n_docs long, min_v double, max_v double, "
+            return _empty_frame(self.spark, "n_docs long, min_v double, max_v double, "
                     "avg_v double, sum_v double")
         agg = mv.agg(
             F.count("v").cast("long").alias("n_docs"),
@@ -1663,7 +1674,7 @@ class Searcher:
         the 100 TB path exactly as ES's own HLL cardinality."""
         mv = self._match_field(query, field, filters)
         if mv is None:
-            return self.spark.createDataFrame([], "n_values long")
+            return _empty_frame(self.spark, "n_values long")
         c = (F.countDistinct("v") if exact
              else F.approx_count_distinct("v", rsd))
         return mv.agg(c.cast("long").alias("n_values"))
@@ -1690,8 +1701,7 @@ class Searcher:
             raise ValueError("percents must be within [0, 100]")
         mv = self._match_field(query, field, filters)
         if mv is None:
-            return self.spark.createDataFrame(
-                [], "percent double, value double")
+            return _empty_frame(self.spark, "percent double, value double")
         frac = ", ".join(repr(p / 100.0) for p in ps)
         fn = "percentile" if exact else "approx_percentile"
         extra = "" if exact else f", {int(accuracy)}"
@@ -1730,8 +1740,7 @@ class Searcher:
         the decode subtree (see ``_pin_small``)."""
         ids = self._match_ids(query, filters, distinct=False)
         if ids is None:
-            return self.spark.createDataFrame(
-                [], f"value string, doc_id long, {sort_by} long")
+            return _empty_frame(self.spark, f"value string, doc_id long, {sort_by} long")
         docs = self.spark.read.parquet(self._docs_path)
         if sort_by == "dl":  # dl lives in the per-doc meta table
             meta = self.spark.read.parquet(self._meta_path) \
@@ -1763,8 +1772,7 @@ class Searcher:
                         .limit(buckets).collect())
             vals = [r["value"] for r in top_rows]
             if not vals:
-                return self.spark.createDataFrame(
-                    [], f"value string, doc_id long, {sort_by} long")
+                return _empty_frame(self.spark, f"value string, doc_id long, {sort_by} long")
             out = (ranked.filter(F.col("value").isin(vals))
                    .select("value", "doc_id", sort_by, "_rk")
                    .orderBy(F.col("value").asc(), F.col("_rk").asc())
@@ -1803,8 +1811,7 @@ class Searcher:
                              "exclusive (ES contract)")
         mv = self._match_field(query, sort_by, filters)
         if mv is None:
-            return self.spark.createDataFrame(
-                [], f"doc_id long, {sort_by} string")
+            return _empty_frame(self.spark, f"doc_id long, {sort_by} string")
         out = mv.select("doc_id", F.col("v").alias(sort_by))
         if search_after is not None:
             av, ad = search_after

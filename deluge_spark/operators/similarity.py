@@ -152,7 +152,7 @@ def rp_lsh_top_k(df: DataFrame, query_vec: list[float], k: int = 10,
     for b in range(bands):
         c = (F.col("band") == b) & (F.col("bucket") == int(qb[b]))
         match = c if match is None else (match | c)
-    cand_ids = sk.filter(match).select("id").distinct()
+    cand_ids = sk.filter(match).select("id")  # LEFT SEMI dedups for free
     cand = df.join(cand_ids.withColumnRenamed("id", id_col), id_col,
                    "left_semi")
     return cosine_top_k(cand, query_vec, k, id_col, vec_col, exclude_id,
@@ -281,7 +281,9 @@ class AnnIndex:
         for b in range(meta["bands"]):
             c = (F.col("band") == b) & (F.col("bucket") == int(qb[b]))
             match = c if match is None else (match | c)
-        cand_ids = self._sketch.filter(match).select("id").distinct()
+        # no distinct: the LEFT SEMI probe dedups matches for free, so
+        # the candidate-id exchange disappears (guide §2.4)
+        cand_ids = self._sketch.filter(match).select("id")
         cand = self._vectors.join(cand_ids, "id", "left_semi")
         qnorm = float(np.sqrt(np.dot(q, q)))
         qarr = F.array(*[F.lit(x) for x in q])
