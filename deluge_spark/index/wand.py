@@ -230,6 +230,10 @@ def wand_top_k(
     the hot-disjunction serving profile.
     """
     eps = 10.0 ** (-round_dp)
+    if allowed is not None and not len(allowed):
+        return []  # empty allowed set matches nothing (old per-doc path
+        #            skipped every candidate; the vectorized filter must
+        #            not index into a zero-length array)
     its = [it for it in lists if not it.exhausted]
     heap: list[tuple[float, int, int]] = []  # (rounded_score, -doc_id, doc_id)
 
