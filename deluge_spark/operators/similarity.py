@@ -167,14 +167,32 @@ def build_ann_index(df: DataFrame, index_dir: str, id_col: str = "vec_id",
     lookup without scanning the band), ``vectors/`` (id, v, nrm) for the
     exact re-rank, and ``meta.json`` (n_planes, bands, seed, dim) so queries
     reproduce the exact same hyperplanes. Build cost: one corpus pass."""
-    os.makedirs(index_dir, exist_ok=True)
-    spark = df.sparkSession
-    sk = sign_sketch(df, id_col, vec_col, n_planes, bands, seed)
-    (sk.repartition("band").sortWithinPartitions("bucket", "id")
-     .write.mode("overwrite").partitionBy("band")
-     .parquet(os.path.join(index_dir, "sketch")))
+    import threading
+
     from pyspark.sql import Observation
 
+    os.makedirs(index_dir, exist_ok=True)
+    spark = df.sparkSession
+    # the sketch and vectors writes are independent jobs over the same
+    # source — run them CONCURRENTLY (guide §2.6: overlap independent
+    # jobs) so the second job's tasks back-fill executors freed by the
+    # first's tail; meta.json (the index's commit point) is written only
+    # after BOTH finish, so crash semantics are unchanged (a dir without
+    # meta.json is an unfinished build, exactly as before)
+    sk = sign_sketch(df, id_col, vec_col, n_planes, bands, seed)
+    sk_exc: list[BaseException] = []
+
+    def _write_sketch() -> None:
+        try:
+            (sk.repartition("band").sortWithinPartitions("bucket", "id")
+             .write.mode("overwrite").partitionBy("band")
+             .parquet(os.path.join(index_dir, "sketch")))
+        except BaseException as ex:  # surfaced after join
+            sk_exc.append(ex)
+
+    th = threading.Thread(target=_write_sketch,
+                          name="deluge-ann-sketch-write", daemon=True)
+    th.start()
     vecs = spread_input(df.select(F.col(id_col).alias("id"),
                                   _as_double(vec_col).alias("v")))
     vecs = vecs.withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
@@ -184,6 +202,9 @@ def build_ann_index(df: DataFrame, index_dir: str, id_col: str = "vec_id",
                   F.max(F.size("v")).alias("dim"))
      .write.mode("overwrite").parquet(os.path.join(index_dir, "vectors")))
     row = obs.get
+    th.join()
+    if sk_exc:
+        raise sk_exc[0]
     meta = {"n_planes": n_planes, "bands": bands, "seed": seed,
             "dim": int(row["dim"] or 0), "n_vectors": int(row["n"])}
     with open(os.path.join(index_dir, "meta.json"), "w") as f:

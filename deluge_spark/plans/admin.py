@@ -929,32 +929,56 @@ def reindex(spark: SparkSession, index_dir: str, out_dir: str,
     if tomb is not None:
         tf = tf.join(tomb, "doc_id", "left_anti")
 
+    import threading
+
     from pyspark.sql import Observation
 
-    dl_df = tf.groupBy("doc_id").agg(F.max("dl").cast("long").alias("dl"))
-    # n_docs/avgdl observed ON the write job — no re-read aggregate pass
-    obs = Observation()
-    (dl_df.observe(obs, F.count(F.lit(1)).alias("n"),
-                   F.avg("dl").alias("avgdl"))
-     .write.mode("overwrite").parquet(os.path.join(out_dir, "docs_meta")))
-    row = obs.get
-    n_docs, avgdl = int(row["n"] or 0), float(row["avgdl"] or 0.0)
-
     man = Manifest(out_dir)
+    # the docs_meta write and the docs copy are independent of the
+    # segments rebuild — run both on a side thread (guide §2.6: overlap
+    # independent jobs; the manifest units still commit only after their
+    # own writes finish, and the final stats/seal step joins the thread
+    # first, so crash-visibility of each unit is unchanged)
+    side_exc: list[BaseException] = []
+    side_out: dict = {}
+
+    def _side_writes() -> None:
+        try:
+            dl_df = tf.groupBy("doc_id").agg(
+                F.max("dl").cast("long").alias("dl"))
+            # n_docs/avgdl observed ON the write job — no re-read pass
+            obs = Observation()
+            (dl_df.observe(obs, F.count(F.lit(1)).alias("n"),
+                           F.avg("dl").alias("avgdl"))
+             .write.mode("overwrite")
+             .parquet(os.path.join(out_dir, "docs_meta")))
+            row = obs.get
+            side_out["n_docs"] = int(row["n"] or 0)
+            side_out["avgdl"] = float(row["avgdl"] or 0.0)
+            # copy docs (lineage preserved), recompute shard col
+            src_docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+            if tomb is not None:
+                src_docs = src_docs.join(tomb, "doc_id", "left_anti")
+            (src_docs.drop("shard")
+             .withColumn("shard", F.pmod(F.col("doc_id"),
+                                         F.lit(cfg.num_shards)).cast("int"))
+             .write.mode("overwrite")
+             .parquet(os.path.join(out_dir, "docs")))
+            man.commit("docs")
+        except BaseException as ex:  # surfaced after join
+            side_exc.append(ex)
+
+    th = threading.Thread(target=_side_writes, name="deluge-reindex-side",
+                          daemon=True)
+    th.start()
     seg = _build_segments(tf, cfg.term_buckets)
     seg.write.mode("overwrite").partitionBy("shard").parquet(
         os.path.join(out_dir, "segments", "batch=0"))
     man.commit("segments_b0", shards=list(range(cfg.num_shards)))
-
-    # copy docs + tf checkpoints (lineage preserved), recompute shard col
-    src_docs = spark.read.parquet(os.path.join(index_dir, "docs"))
-    if tomb is not None:
-        src_docs = src_docs.join(tomb, "doc_id", "left_anti")
-    (src_docs.drop("shard")
-     .withColumn("shard", F.pmod(F.col("doc_id"),
-                                 F.lit(cfg.num_shards)).cast("int"))
-     .write.mode("overwrite").parquet(os.path.join(out_dir, "docs")))
-    man.commit("docs")
+    th.join()
+    if side_exc:
+        raise side_exc[0]
+    n_docs, avgdl = side_out["n_docs"], side_out["avgdl"]
 
     seg_all = read_segments(spark, out_dir)
     terms = seg_all.groupBy("term").agg(F.sum("df_local").alias("df"),
