@@ -196,10 +196,16 @@ def build_ann_index(df: DataFrame, index_dir: str, id_col: str = "vec_id",
     vecs = spread_input(df.select(F.col(id_col).alias("id"),
                                   _as_double(vec_col).alias("v")))
     vecs = vecs.withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
-    # n_vectors/dim observed ON the write job — no re-read count pass
+    # n_vectors/dim observed ON the write job — no re-read count pass.
+    # Output-file sizing (guide §6): the norm compute runs at full spread
+    # parallelism, then ONE exchange packs the table into a few files so
+    # every later query scan doesn't pay per-file open cost for dozens of
+    # task-sized shards.
+    n_files = max(1, df.sparkSession.sparkContext.defaultParallelism // 8)
     obs = Observation()
-    (vecs.observe(obs, F.count(F.lit(1)).alias("n"),
-                  F.max(F.size("v")).alias("dim"))
+    (vecs.repartition(n_files)
+     .observe(obs, F.count(F.lit(1)).alias("n"),
+              F.max(F.size("v")).alias("dim"))
      .write.mode("overwrite").parquet(os.path.join(index_dir, "vectors")))
     row = obs.get
     th.join()
