@@ -69,7 +69,7 @@ def _noop(it):
 spark.range(0, 4 * cpus, 1, 4 * cpus).mapInArrow(_noop, schema="id long").count()
 
 s = Searcher(spark, os.environ["INDEX"], cache_stats=True)
-qs = query_set()
+qs = query_set(int(os.environ.get("QSCALING_M", "64")))
 # untimed warm-up batch with a small disjoint query set: JIT/codegen and
 # parquet footer caches, not the measured postings work
 s.search_many({"w0": "rareterm3", "w1": "zzzwarm"}, k=10).collect()
@@ -139,9 +139,11 @@ def main() -> None:
         cur_qg = int(os.environ.get("QSCALING_QUERY_GROUPS", "1"))
         for lvl in (lo, hi):
             # carry only config-identical runs (same task granularity)
+            cur_m = int(os.environ.get("QSCALING_M", "64"))
             runs[lvl].extend(
                 r for r in prev.get("runs", {}).get(str(lvl), [])
-                if int(r.get("query_groups", 1)) == cur_qg)
+                if int(r.get("query_groups", 1)) == cur_qg
+                and int(r.get("m_queries", 64)) == cur_m)
     for _ in range(repeats):
         for lvl in (lo, hi):
             runs[lvl].append(run_level(lvl))
@@ -154,9 +156,10 @@ def main() -> None:
                  / (ratio * hw[lo]["cpu_units_per_s"]))
     norm = min(1.0, eff / hw_eff) if hw_eff else float("nan")
 
+    m_q = best[lo].get("m_queries", 64)
     md = f"""# Query-path scaling (N vs 4N) — search_many batch throughput
 
-The identical 64-query ``search_many`` batch job (one filtered segments
+The identical {m_q}-query ``search_many`` batch job (one filtered segments
 scan + per-(shard, query-group) scoring — the cluster query-evaluation
 shape) over the SAME prebuilt 2.5M-doc sf5 index at {lo} vs {hi} cores,
 fresh JVM per run, {len(runs[lo])}/{len(runs[hi])} interleaved repeats
